@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults follow the public Spark tuning guidance: shuffle
+partitions ~= cores (not 200), AQE on (runtime coalesce + skew-join),
+Arrow on for the pandas-UDF stages, session TZ pinned to UTC so results
+hash-compare cleanly against DuckDB's UTC-naive timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | str = "*",
+    app_name: str = "pttcrawler_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession on ``local[cores]``.
+
+    ``shuffle_partitions`` defaults to the core count (or 32 for ``*``):
+    the right size for local mode where 200 partitions just adds task
+    overhead; on a real cluster this is set per-job from executor count.
+    """
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cores == "*" else max(int(cores), 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # binary image payloads: keep row groups bounded so a 100 TB table
+        # of ~100 KB rows still yields sane parquet pages / task splits
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,105 @@
+"""Deterministic image payloads: generate / encode / decode / phash / PSNR.
+
+The container has no image libraries (no PIL/opencv), so — as the build
+contract allows — the *codec* is a deterministic fake: a tiny self-describing
+container ("SPNG" lossless via zlib, "SJPG" lossy via uniform quantization to
+step 4, PSNR ≈ 46 dB vs the original, comfortably ≥ the 40 dB gate from
+BASELINE.json input_hint). Everything AROUND the codec — binary columns,
+schema, Arrow batch shape, vectorized decode/verify UDFs, phash — is real and
+is what the Spark plumbing exercises. Swapping in a real codec is a two-
+function change in this module.
+
+All functions are numpy-vectorized-friendly: they take/return numpy arrays
+and are called from pandas UDFs on whole Arrow batches (no per-row Python in
+the Spark plan; the per-row loop here lives inside a batch function, the same
+shape a real codec binding would have).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC_LOSSLESS = b"SPNG"
+MAGIC_LOSSY = b"SJPG"
+_HEADER = struct.Struct(">4sHHB")  # magic, w, h, channels
+_Q_STEP = 4  # lossy quantization step → PSNR ~46.4 dB
+
+
+def seed_for(image_id: str) -> int:
+    """Stable 64-bit seed from an id (FNV-1a); no Python hash() (salted)."""
+    h = 0xCBF29CE484222325
+    for b in image_id.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def make_pixels(image_id: str, w: int = 32, h: int = 32) -> np.ndarray:
+    """Deterministic RGB uint8 image (h, w, 3) from an id."""
+    rng = np.random.default_rng(seed_for(image_id))
+    base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # id-dependent low-frequency structure so phash is discriminative
+    blocks = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    low = np.kron(blocks, np.ones((max(h // 8, 1), max(w // 8, 1)), dtype=np.uint8))[:h, :w]
+    return ((base.astype(np.uint16) + low[:, :, None].astype(np.uint16)) // 2).astype(np.uint8)
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w, c = pixels.shape
+    if fmt == "png":
+        payload, magic = pixels, MAGIC_LOSSLESS
+    elif fmt == "jpeg":
+        payload = ((pixels // _Q_STEP) * _Q_STEP + _Q_STEP // 2).astype(np.uint8)
+        magic = MAGIC_LOSSY
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    return _HEADER.pack(magic, w, h, c) + zlib.compress(payload.tobytes(), 1)
+
+
+def decode(data: bytes) -> np.ndarray:
+    magic, w, h, c = _HEADER.unpack_from(data)
+    if magic not in (MAGIC_LOSSLESS, MAGIC_LOSSY):
+        raise ValueError("bad magic")
+    raw = zlib.decompress(data[_HEADER.size:])
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Average-hash: 8×8 block means vs global mean → signed int64."""
+    gray = pixels.mean(axis=2)
+    h, w = gray.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return int(np.int64(np.uint64(val)))  # wrap to signed for LongType
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def build_payload(image_id: str, w: int = 32, h: int = 32, fmt: str = "png",
+                  caption: str = "") -> dict:
+    """One IMAGES-schema row (BASELINE.json input_hint shape)."""
+    px = make_pixels(image_id, w, h)
+    return {
+        "image_id": image_id,
+        "bytes": encode(px, fmt),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": phash64(px),
+    }
