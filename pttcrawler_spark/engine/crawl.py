@@ -1,0 +1,356 @@
+"""The micro-batch frontier crawl loop — the heart of the engine.
+
+Re-expresses the reference's single-threaded loop (crawler/article.py:419-511
++ crawler/article_index.py:119-174) as a Structured-Streaming-style
+micro-batch drain over a frontier table:
+
+  pending → [per-host token bucket admit]  (operators/politeness)
+          → [simulated fetch = join corpus] (network I/O stand-in)
+          → bootstrap: getLastPage → seed index rows L..1     (F1)
+          → index: parse entries → canonicalize → ANTI-JOIN dedupe → enqueue
+          → article: parse fields/pushes/payload → append output tables
+          → frontier/politeness/metrics snapshot (engine/state)
+
+Ordering is DATA, not task order. Per-host sort key (priority desc,
+discovery_seq asc) with
+
+  priority = board_major(board_rank) + local
+  local    = bootstrap: 1<<21 | index p: 2p+1 | article p: 2p
+
+reproduces the reference's exact order — boards sequentially (single-host
+case), within a board: index L, its articles in DOM order, index L-1, ... —
+under any parallelism and any politeness budget ≥ 1: admission is a prefix
+of the sort order, and the politeness operator's *discovery barrier* stops
+each host's admission after the first index/bootstrap row so pages spawned
+later can claim their rightful place in the order.
+
+Scale design notes (100 TB / 10^10 URLs):
+- every join/agg keys on url/host which are hash-partitionable; host skew is
+  bounded by the pre-truncation in operators/politeness (a host contributes
+  at most ceil(tokens) rows to any per-host group);
+- the candidate anti-join is the scale hot spot → operators/bloom provides a
+  partitioned Bloom pre-filter so the exact join only sees maybe-seen URLs;
+- frontier snapshot rewrite per batch = Iceberg MERGE in production (see
+  engine/state docstring);
+- lineage is broken every batch by reading the snapshot back from Parquet,
+  so the plan never grows with batch count (the classic iterative-job trap).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import parse as FP
+from ..functions import url as FU
+from ..operators import politeness as POL
+from . import state as ST
+
+_LOCAL_BITS = 22                     # local priority fits in 22 bits
+_BOOT_LOCAL = 1 << 21                # bootstrap outranks any page of its board
+_MAX_BOARD_RANK = 1 << 20
+
+
+@dataclass
+class CrawlConfig:
+    delay_s: float = 2.0            # config_example.ini:14
+    batch_seconds: float = 60.0     # logical clock advance per micro-batch
+    capacity: float | None = None   # token bucket burst; default = one batch refill
+    impl: str = "window"            # 'window' | 'pandas' politeness impl
+    robots: dict[str, list[str]] | None = None
+    start_index: int = 1
+    max_batches: int = 10_000
+    use_bloom: bool = False         # bloom pre-filter for the candidate anti-join
+    bloom_partitions: int = 16
+    bloom_bits_per_key: int = 16
+
+    @property
+    def burst(self) -> float:
+        b = self.capacity if self.capacity is not None else self.batch_seconds / self.delay_s
+        if b < 1.0:
+            raise ValueError("token bucket burst must be >= 1 (nothing would ever be admitted)")
+        return b
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    final_batch: int
+    n_fetched: int
+    spark: SparkSession = field(repr=False)
+
+    def frontier(self) -> DataFrame:
+        return ST.load_snapshot(self.spark, self.out_dir).frontier
+
+    def table(self, name: str) -> DataFrame | None:
+        return ST.read_table(self.spark, self.out_dir, name, max_batch=self.final_batch)
+
+    def metrics(self) -> DataFrame | None:
+        return ST.read_metrics(self.spark, self.out_dir)
+
+    def fetch_order(self) -> DataFrame:
+        """Per-host fetch order as data: (host, ord, url, kind). Global order
+        across hosts is undefined under parallel crawl (contract: per-host
+        order + global seen-set match the single-threaded oracle)."""
+        w = Window.partitionBy("host").orderBy(
+            F.col("batch_id").asc(), F.col("priority").desc(),
+            F.col("discovery_seq").asc(), F.col("url").asc())
+        return (
+            self.frontier()
+            .where(F.col("status") == "fetched")
+            .withColumn("ord", F.row_number().over(w))
+            .select("host", "ord", "url", "kind", "board", "page_index")
+        )
+
+    def url_seen(self) -> DataFrame:
+        return self.frontier().where(F.col("status") == "fetched").select("url")
+
+
+def _priority() -> F.Column:
+    board_major = (
+        (F.lit(_MAX_BOARD_RANK).cast("long") - F.col("board_rank")) * F.lit(1 << _LOCAL_BITS)
+    )
+    local = (
+        F.when(F.col("kind") == "bootstrap", F.lit(_BOOT_LOCAL))
+        .when(F.col("kind") == "index", 2 * F.col("page_index") + 1)
+        .otherwise(2 * F.col("page_index"))
+    ).cast("long")
+    return (board_major + local).cast("long")
+
+
+def _frontier_row_cols(df: DataFrame) -> DataFrame:
+    """Attach hash/host/salt/priority columns. Input columns: url, kind,
+    board, board_rank, page_index, dom_pos, discovery_seq."""
+    url = FU.canonicalize(F.col("url"))
+    return (
+        df.withColumn("url", url)
+        .withColumn("url_hash", FU.url_hash64(F.col("url")))
+        .withColumn("url_hash32", FU.url_hash32(F.col("url")))
+        .withColumn("host", FU.host_of(F.col("url")))
+        .withColumn("host_salt", FU.host_salt(F.col("host")))
+        .withColumn("priority", _priority())
+        .withColumn("status", F.lit("pending"))
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .select("url", "url_hash", "url_hash32", "host", "host_salt", "kind",
+                "board", "board_rank", "page_index", "dom_pos", "priority",
+                "discovery_seq", "status", "retry_count", "batch_id")
+    )
+
+
+def seed_frontier(spark: SparkSession, seeds: list[tuple[str, str]]) -> DataFrame:
+    """seeds: [(board, index_html_url)] in crawl order → bootstrap rows."""
+    rows = [(board, url, rank) for rank, (board, url) in enumerate(seeds)]
+    df = spark.createDataFrame(rows, "board string, url string, board_rank long")
+    df = (
+        df.withColumn("kind", F.lit("bootstrap"))
+        .withColumn("page_index", F.lit(-1))
+        .withColumn("dom_pos", F.lit(-1))
+        .withColumn("discovery_seq", F.lit(0).cast("long"))
+    )
+    return _frontier_row_cols(df)
+
+
+def _init_politeness(hosts: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    return (
+        hosts.select("host").distinct()
+        .withColumn("tokens", F.lit(float(cfg.burst)))
+        .withColumn("last_refill_seq", F.lit(0).cast("long"))
+        .withColumn("delay_s", F.lit(float(cfg.delay_s)))
+        .withColumn("robots_rules", F.lit(None).cast("string"))
+        .withColumn("robots_fetched_seq", F.lit(None).cast("long"))
+    )
+
+
+def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
+          out_dir: str, cfg: CrawlConfig | None = None,
+          resume: bool = False) -> CrawlResult:
+    cfg = cfg or CrawlConfig()
+    pages = corpus.select(
+        "url", F.col("html").alias("_html"), "image_bytes", "w", "h", "fmt",
+        "caption", "phash",
+    )
+
+    snap = ST.load_snapshot(spark, out_dir) if resume else None
+    if snap is not None:
+        frontier, politeness, batch_id = snap.frontier, snap.politeness, snap.batch_id
+    else:
+        frontier = seed_frontier(spark, seeds)
+        politeness = _init_politeness(frontier, cfg)
+        batch_id = -1
+
+    bloom = None
+    if cfg.use_bloom:
+        from ..operators import bloom as BL
+        bloom = BL.BloomState(cfg.bloom_partitions, cfg.bloom_bits_per_key)
+        if snap is None or not bloom.load(out_dir, batch_id):
+            bloom.rebuild(frontier.select("url_hash"))
+
+    n_fetched_total = 0
+    batches_run = 0
+    while batches_run < cfg.max_batches:
+        batches_run += 1
+        batch_id += 1
+        pending = frontier.where(F.col("status") == "pending")
+        if pending.isEmpty():
+            batch_id -= 1
+            break
+
+        politeness = POL.refill(politeness, cfg.batch_seconds, cfg.burst)
+        if cfg.impl == "pandas":
+            marked = POL.admit_apply_in_pandas(pending, politeness, cfg.robots)
+            blocked = marked.where(F.col("robots_blocked")).drop("admit", "robots_blocked")
+            marked = marked.drop("robots_blocked")
+        else:
+            marked = POL.admit_window(pending, politeness)
+            blocked = None
+
+        admitted = marked.where(F.col("admit")).drop("admit")
+        # simulated fetch: URL → page body (a real deployment swaps this join
+        # for an HTTP applyInPandas stage; everything downstream is identical)
+        fetched = admitted.join(pages, "url", "left").persist()
+        n_rows = fetched.count()
+        n_blocked = 0 if blocked is None else blocked.count()
+        if n_rows == 0 and n_blocked == 0:
+            # budget exhausted: advance the logical clock (commit the refill)
+            ST.commit_snapshot(out_dir, batch_id, frontier, politeness, None)
+            snap2 = ST.load_snapshot(spark, out_dir)
+            frontier, politeness = snap2.frontier, snap2.politeness
+            fetched.unpersist()
+            continue
+
+        ok = fetched.where(F.col("_html").isNotNull())
+
+        # --- bootstrap → seed the descending index range (F1) --------------
+        boot = ok.where(F.col("kind") == "bootstrap")
+        new_index = (
+            boot.select("board", "board_rank", "url",
+                        FP.last_page(F.col("_html")).alias("last"))
+            .select("board", "board_rank", "url",
+                    F.explode(F.sequence(F.lit(cfg.start_index), F.col("last"))).alias("page_index"))
+            .select(
+                F.concat(
+                    F.regexp_extract(F.col("url"), r"^(.*/)index\.html$", 1),
+                    F.format_string("index%d.html", F.col("page_index")),
+                ).alias("url"),
+                F.lit("index").alias("kind"), "board", "board_rank", "page_index",
+                F.lit(-1).alias("dom_pos"), F.lit(0).cast("long").alias("discovery_seq"),
+            )
+        )
+
+        # --- index pages → entries → candidate article URLs (J2 dedupe) ----
+        idx = ok.where(F.col("kind") == "index")
+        entries = FP.parse_index_pages(
+            idx.select("url", "board", "board_rank", "page_index",
+                       F.col("_html").alias("html")))
+        candidates = entries.select(
+            FU.join_url(F.col("url"), F.col("href")).alias("url"),
+            F.lit("article").alias("kind"), "board", "board_rank", "page_index",
+            "dom_pos", F.col("dom_pos").cast("long").alias("discovery_seq"),
+        )
+        new_rows = _frontier_row_cols(candidates.unionByName(new_index))
+        # dedupe within the batch (same URL discovered twice), deterministic
+        w_url = Window.partitionBy("url").orderBy(
+            F.col("priority").desc(), F.col("discovery_seq").asc())
+        new_rows = (
+            new_rows.withColumn("_rn", F.row_number().over(w_url))
+            .where(F.col("_rn") == 1).drop("_rn")
+        )
+        # URL-seen: bloom pre-filter (scale path) + exact anti-join (truth)
+        if bloom is not None:
+            maybe_seen, definitely_new = bloom.split(new_rows)
+            verified_new = maybe_seen.join(frontier.select("url"), "url", "left_anti")
+            new_rows = definitely_new.unionByName(verified_new)
+        else:
+            new_rows = new_rows.join(frontier.select("url"), "url", "left_anti")
+        new_rows = new_rows.persist()
+        n_candidates = candidates.count()
+        n_new = new_rows.where(F.col("kind") == "article").count()
+
+        # --- article pages → parsed outputs --------------------------------
+        art = ok.where(F.col("kind") == "article").withColumn(
+            "web_id", FP.web_id_of(F.col("url")))
+        parsed_articles = FP.parse_articles(
+            art.select("web_id", "board", "page_index", "dom_pos",
+                       F.col("_html").alias("html"), "image_bytes", "w", "h",
+                       "fmt", "caption", "phash"))
+        parsed_pushes = FP.parse_pushes(
+            art.select("web_id", F.col("_html").alias("html")))
+        images = art.where(F.col("image_bytes").isNotNull()).select(
+            F.col("web_id").alias("image_id"), F.col("image_bytes").alias("bytes"),
+            "w", "h", "fmt", "caption", "phash")
+        article_index = entries.select(
+            F.col("entry_web_id").alias("web_id"), "board",
+            F.col("page_index").alias("index"))
+
+        ST.write_table_batch(parsed_articles, out_dir, "parsed_articles", batch_id)
+        ST.write_table_batch(parsed_pushes, out_dir, "parsed_pushes", batch_id)
+        ST.write_table_batch(images, out_dir, "images", batch_id)
+        ST.write_table_batch(article_index, out_dir, "article_index", batch_id)
+
+        # --- frontier + politeness + metrics update -------------------------
+        updates = fetched.select(
+            "url",
+            F.when(F.col("_html").isNotNull(), F.lit("fetched"))
+            .otherwise(F.lit("failed")).alias("_new_status"),
+        )
+        if blocked is not None:
+            updates = updates.unionByName(
+                blocked.select("url", F.lit("failed").alias("_new_status")))
+
+        frontier_next = (
+            frontier.join(updates, "url", "left")
+            .withColumn("status", F.coalesce(F.col("_new_status"), F.col("status")))
+            .withColumn("batch_id",
+                        F.when(F.col("_new_status").isNotNull(), F.lit(batch_id).cast("long"))
+                        .otherwise(F.col("batch_id")))
+            .drop("_new_status")
+            .unionByName(new_rows.withColumn("batch_id", F.lit(batch_id).cast("long")))
+        )
+
+        n_admitted = admitted.groupBy("host").agg(F.count("*").alias("n_admitted"))
+        politeness_next = POL.spend(politeness, n_admitted)
+        politeness_next = politeness_next.unionByName(
+            _init_politeness(new_rows.join(politeness.select("host"), "host", "left_anti"), cfg)
+        ).groupBy("host").agg(
+            F.max("tokens").alias("tokens"),
+            F.max("last_refill_seq").alias("last_refill_seq"),
+            F.max("delay_s").alias("delay_s"),
+            F.max("robots_rules").alias("robots_rules"),
+            F.max("robots_fetched_seq").alias("robots_fetched_seq"),
+        )
+
+        deferred = marked.where(~F.col("admit")).groupBy("host").agg(
+            F.count("*").alias("_deferred"))
+        metrics = (
+            fetched.groupBy("host", "host_salt")
+            .agg(
+                F.sum(F.when(F.col("_html").isNotNull(), 1).otherwise(0)).alias("fetched"),
+                F.sum(F.when(F.col("_html").isNull(), 1).otherwise(0)).alias("failed"),
+            )
+            .join(deferred, "host", "left")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("partition_id", F.col("host_salt"))
+            .withColumn("deduped", F.lit(n_candidates - n_new).cast("long"))
+            .withColumn("deferred", F.coalesce(F.col("_deferred"), F.lit(0)).cast("long"))
+            .select("batch_id", "partition_id", "host", "fetched", "deduped",
+                    "deferred", "failed")
+        )
+
+        if bloom is not None:
+            bloom.add(new_rows.select("url_hash"))
+            bloom.save(out_dir, batch_id)
+
+        ST.commit_snapshot(out_dir, batch_id, frontier_next, politeness_next, metrics)
+        n_fetched_total += n_rows
+        fetched.unpersist()
+        new_rows.unpersist()
+
+        # lineage break: re-read the snapshot we just wrote
+        snap2 = ST.load_snapshot(spark, out_dir)
+        frontier, politeness = snap2.frontier, snap2.politeness
+
+    return CrawlResult(out_dir=out_dir, final_batch=batch_id,
+                       n_fetched=n_fetched_total, spark=spark)

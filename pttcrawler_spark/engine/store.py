@@ -1,0 +1,205 @@
+"""Relational store materialization with DETERMINISTIC surrogate ids.
+
+The reference's ids are SQLite autoincrement in encounter order
+(models/article.py:11-13, 35-37; user ids assigned on first get_or_create,
+crawler/article.py:159-167, 220-231). A distributed engine cannot use
+monotonically_increasing_id (task-order dependent); instead the canonical
+fetch order is reconstructed AS DATA from the frontier
+(board_rank, batch_id, priority desc, discovery_seq, url) and every id is a
+row_number over it — so exports byte-compare with the single-threaded oracle
+(SURVEY.md §7.0.2).
+
+Scale note: the global row_number windows here are single-partition sorts —
+the price of exact reference id parity, paid once at export time over id
+columns only (narrow rows). Engines that don't need byte-identical exports
+can zipWithIndex per commit batch instead; both forms are O(n log n) sorts,
+and the sorted data is the final output anyway.
+
+history start_at/end_at use the oracle's logical clock
+(BASE_TS + fetch_seq seconds) replacing the reference's datetime.now().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..oracle.simulator import BASE_TS
+from .crawl import CrawlResult
+
+
+def _fetch_order_window() -> Window:
+    return Window.orderBy(
+        F.col("board_rank").asc(), F.col("batch_id").asc(),
+        F.col("priority").desc(), F.col("discovery_seq").asc(), F.col("url").asc())
+
+
+def fetch_events(result: CrawlResult) -> DataFrame:
+    """All fetched frontier rows with their global fetch_seq (oracle parity:
+    boards sequentially, within board the per-host order)."""
+    return (
+        result.frontier()
+        .where(F.col("status") == "fetched")
+        .withColumn("fetch_seq", F.row_number().over(_fetch_order_window()))
+    )
+
+
+def logical_ts_col(seq: F.Column) -> F.Column:
+    return F.lit(BASE_TS).cast("timestamp") + F.make_interval(secs=seq.cast("double"))
+
+
+def build_relational(result: CrawlResult) -> dict[str, DataFrame]:
+    """Crawl outputs → the reference's seven tables, ids in encounter order."""
+    ev = fetch_events(result).select("url", "kind", "board", "board_rank", "fetch_seq")
+    parsed = result.table("parsed_articles")
+    pushes_raw = result.table("parsed_pushes")
+    aidx = result.table("article_index")
+
+    # board: get_or_create at crawl start, seed order (crawler/article.py:417)
+    board = (
+        ev.groupBy("board").agg(F.min("board_rank").alias("r"))
+        .withColumn("id", F.row_number().over(Window.orderBy("r")).cast("int"))
+        .select("id", F.col("board").alias("name"))
+    )
+
+    # articles with their fetch_seq (join back on web_id via url suffix)
+    art_ev = (
+        ev.where(F.col("kind") == "article")
+        .withColumn("web_id",
+                    F.regexp_replace(F.element_at(F.split(F.col("url"), "/"), -1),
+                                     r"\.html", ""))
+        .select("web_id", "fetch_seq")
+    )
+    arts = parsed.join(art_ev, "web_id")
+
+    w_fetch = Window.orderBy("fetch_seq")
+    arts = arts.withColumn("article_id", F.row_number().over(w_fetch).cast("int"))
+
+    # user: first-encounter order — author at (fetch_seq, 0), push user at
+    # (fetch_seq, floor) (crawler/article.py:159-167, 210-231)
+    author_ev = arts.select(
+        F.col("author_username").alias("username"),
+        F.col("fetch_seq"), F.lit(0).alias("pos"))
+    push_ev = (
+        pushes_raw.join(arts.select("web_id", "fetch_seq"), "web_id")
+        .select(F.coalesce(F.col("push_username"), F.lit("")).alias("username"),
+                "fetch_seq", F.col("floor").alias("pos"))
+    )
+    user = (
+        author_ev.unionByName(push_ev)
+        .groupBy("username")
+        .agg(F.min(F.struct("fetch_seq", "pos")).alias("first_ev"))
+        .withColumn("id", F.row_number().over(
+            Window.orderBy("first_ev.fetch_seq", "first_ev.pos")).cast("int"))
+        .select("id", "username",
+                F.lit(0).alias("login_times"),
+                F.lit(0).alias("valid_article_count"))
+    )
+
+    article = (
+        arts.join(user.select(F.col("username").alias("author_username"),
+                              F.col("id").alias("user_id")), "author_username")
+        .join(board.select(F.col("name").alias("board"), F.col("id").alias("board_id")),
+              "board")
+        .select(F.col("article_id").alias("id"), "web_id", "user_id", "board_id",
+                "post_datetime", "post_ip")
+    )
+
+    # one history per article in add mode; id = article encounter order,
+    # start_at/end_at = logical clock at fetch (crawler/article.py:200-207)
+    article_history = arts.select(
+        F.col("article_id").alias("id"),
+        F.col("article_id").alias("article_id"),
+        "title", "content",
+        logical_ts_col(F.col("fetch_seq")).alias("start_at"),
+        logical_ts_col(F.col("fetch_seq")).alias("end_at"),
+    )
+
+    push = (
+        pushes_raw.join(arts.select("web_id", "article_id", "fetch_seq"), "web_id")
+        .join(user.select(F.col("username").alias("push_username_key"),
+                          F.col("id").alias("push_user_id")),
+              F.coalesce(F.col("push_username"), F.lit("")) == F.col("push_username_key"),
+              "left")
+        .withColumn("id", F.row_number().over(
+            Window.orderBy("fetch_seq", "floor")).cast("int"))
+        .select("id", F.col("article_id").alias("article_history_id"), "floor",
+                "push_tag", "push_user_id", "push_content", "push_ip",
+                "push_datetime")
+    )
+
+    # ip_asn rows created empty at crawl time (crawler/article.py:184-195,
+    # 236-247): article ip if non-null, push ip if truthy ('' excluded)
+    ip_art = article.where(F.col("post_ip").isNotNull()).select(F.col("post_ip").alias("ip"))
+    ip_push = push.where(F.col("push_ip").isNotNull() & (F.col("push_ip") != "")) \
+        .select(F.col("push_ip").alias("ip"))
+    ip_asn = (
+        ip_art.unionByName(ip_push).distinct()
+        .select("ip", *[F.lit(None).cast("string").alias(c) for c in
+                        ("asn", "asn_registry", "asn_cidr", "asn_country_code",
+                         "asn_description", "asn_raw")],
+                F.lit(None).cast("timestamp").alias("asn_date"))
+    )
+
+    # article_index upsert-by-web_id (bulk_update, models/base.py:98-107):
+    # last write wins; our corpus lists each article on one page → distinct
+    article_index = (
+        aidx.join(board.select(F.col("name").alias("board"), F.col("id").alias("board_id")),
+                  "board")
+        .groupBy("web_id").agg(F.max("board_id").alias("board_id"),
+                               F.max("index").alias("index"))
+    )
+
+    return {
+        "board": board,
+        "user": user,
+        "ip_asn": ip_asn,
+        "article_index": article_index,
+        "article": article,
+        "article_history": article_history,
+        "push": push,
+    }
+
+
+# --- S5: deterministic synthetic ASN enrichment (crawler/asn.py:46-64) -----
+def _fnv(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def synth_asn_lookup(ip: str) -> dict:
+    """Pure stand-in for ipwhois IPASN.lookup (network source unavailable);
+    deterministic per ip so engine and test oracle agree by construction."""
+    h = _fnv(ip)
+    cc = ["TW", "US", "JP", None][h % 4]
+    asn = f"AS{h % 64000}"
+    return {
+        "ip": ip,
+        "asn": asn,
+        "asn_registry": ["apnic", "arin", "ripencc"][h % 3],
+        "asn_cidr": ".".join(ip.split(".")[:3] + ["0"]) + "/24",
+        "asn_country_code": cc,
+        "asn_description": f"SYNTH-{asn}",
+        "asn_raw": None,
+        "asn_date": None,
+    }
+
+
+def enrich_ip_asn(ip_asn: DataFrame) -> DataFrame:
+    """mapInPandas enrichment over distinct IPs — ordered by asn queue
+    semantics are irrelevant here (ip is the PK); batched like the
+    reference's 100-row flushes (crawler/asn.py:60-62)."""
+    import pandas as pd
+
+    def enrich(batches):
+        for pdf in batches:
+            rows = [synth_asn_lookup(ip) for ip in pdf["ip"]]
+            out = pd.DataFrame(rows)
+            yield out
+
+    schema = ("ip string, asn string, asn_registry string, asn_cidr string, "
+              "asn_country_code string, asn_description string, asn_raw string, "
+              "asn_date timestamp")
+    return ip_asn.select("ip").mapInPandas(enrich, schema=schema)

@@ -1,0 +1,226 @@
+"""Spark-side page parsing — the declarative twin of oracle/parse.py.
+
+Every extractor is a Column expression over JVM built-ins (regexp_extract,
+higher-order array functions) so the whole parse stage stays inside
+whole-stage codegen: zero Python in the hot path. Regex/format semantics are
+the reference's, cited per function; tests assert field-level agreement with
+the pure-Python oracle parser on the same corpus.
+
+Index page → entries is the UDTF-shaped step (one page → N rows): expressed
+as regexp_extract_all + posexplode, not mapInPandas, because Catalyst can
+prune/push through it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- F1: pagination ‹ link → last page (crawler/article.py:398-402) --------
+RE_LAST_PAGE = r'href="/bbs/\w+/index(\d+).html">&lsaquo;'
+
+
+def last_page(html: Column) -> Column:
+    g = F.regexp_extract(html, RE_LAST_PAGE, 1)
+    return F.when(g == "", F.lit(1)).otherwise(g.cast("int") + 1)
+
+
+# --- index entries (crawler/article.py:438-459) -----------------------------
+RE_ENTRY_HREF = r'<div class="r-ent"><a href="([^"]+)">'
+
+
+def index_entry_hrefs(html: Column) -> Column:
+    """Array of hrefs in DOM order, truncated at r-list-sep; entries without
+    an <a> (deleted posts) never match, mirroring the try/except skip."""
+    before_sep = F.substring_index(html, '<div class="r-list-sep"', 1)
+    return F.regexp_extract_all(before_sep, F.lit(RE_ENTRY_HREF), 1)
+
+
+# --- F2: web_id from href (crawler/article.py:453-454) ----------------------
+def web_id_of(href: Column) -> Column:
+    return F.regexp_replace(F.element_at(F.split(href, "/"), -1), r"\.html", "")
+
+
+# --- metas (crawler/article.py:278-291: author/title/date by position) ------
+RE_META_VALUE = r'<span class="article-meta-value">([^<]*)</span>'
+
+
+def meta_values(html: Column) -> Column:
+    return F.regexp_extract_all(html, F.lit(RE_META_VALUE), 1)
+
+
+# --- F3: author username (crawler/article.py:134-140) -----------------------
+RE_AUTHOR = r"([\S]*)\D\((.*)\)"
+
+
+def author_username(author_raw: Column) -> Column:
+    return F.when(
+        (author_raw != "") & author_raw.rlike(RE_AUTHOR),
+        F.regexp_extract(author_raw, RE_AUTHOR, 1),
+    ).otherwise(author_raw)
+
+
+def author_nickname(author_raw: Column) -> Column:
+    return F.when(
+        (author_raw != "") & author_raw.rlike(RE_AUTHOR),
+        F.regexp_extract(author_raw, RE_AUTHOR, 2),
+    )
+
+
+# --- F10: post datetime '%a %b %d %H:%M:%S %Y' (crawler/article.py:170) -----
+def post_datetime(date_str: Column) -> Column:
+    # try_to_timestamp: NULL on failure = the reference's try/except → None.
+    # Spark >= 3.0 rejects 'EEE' in parse patterns, so require the weekday
+    # token's shape ('Xxx ') and parse the remainder.
+    rest = F.when(date_str.rlike(r"^[A-Za-z]{3} "), F.substring(date_str, 5, 0x7FFFFFFF))
+    return F.try_to_timestamp(rest, F.lit("MMM dd HH:mm:ss yyyy"))
+
+
+# --- F5: post ip from the 發信站 line (crawler/article.py:320-324) ----------
+RE_IPV4 = r"[0-9]*\.[0-9]*\.[0-9]*\.[0-9]*"
+
+
+def post_ip(html: Column) -> Column:
+    line = F.regexp_extract(html, r"(?m)^.*※ 發信站:.*$", 0)
+    ip = F.regexp_extract(line, RE_IPV4, 0)
+    return F.nullif(ip, F.lit(""))
+
+
+# --- F4: push ip + datetime, %M:%S quirk kept (crawler/article.py:119-132) --
+RE_PUSH_IPDT = r"([\d.]*)\W?(\d{2}/\d{2} \d{2}:\d{2})"
+
+
+def push_ip(ipdt: Column) -> Column:
+    return F.when(ipdt.rlike(RE_PUSH_IPDT), F.regexp_extract(ipdt, RE_PUSH_IPDT, 1))
+
+
+def push_datetime(ipdt: Column) -> Column:
+    """strptime('%m/%d %M:%S') → year 1900, hour 0, the HH:MM text lands in
+    minute:second. Reproduced by prefixing the literal year."""
+    g = F.regexp_extract(ipdt, RE_PUSH_IPDT, 2)
+    return F.when(
+        ipdt.rlike(RE_PUSH_IPDT),
+        F.try_to_timestamp(F.concat(F.lit("1900/"), g), F.lit("yyyy/MM/dd mm:ss")),
+    )
+
+
+# --- push divs (crawler/article.py:343-362) ---------------------------------
+RE_PUSH_DIV = r'<div class="push">.*?</div>'
+RE_PUSH_TAG = r'<span class="push-tag">([^<]*)</span>'
+RE_PUSH_USERID = r'<span class="push-userid">([^<]*)</span>'
+RE_PUSH_CONTENT = r'<span class="push-content">([^<]*)</span>'
+RE_PUSH_IPDATETIME = r'<span class="push-ipdatetime">([^<]*)</span>'
+
+
+def push_divs(html: Column) -> Column:
+    return F.regexp_extract_all(html, F.lit(RE_PUSH_DIV), 0)
+
+
+def _trim(c: Column) -> Column:
+    return F.trim(c)  # reference strips ' \t\n\r'
+
+
+def push_fields(div: Column) -> dict[str, Column]:
+    content = F.regexp_extract(div, RE_PUSH_CONTENT, 1)
+    return {
+        "push_tag": _trim(F.regexp_extract(div, RE_PUSH_TAG, 1)),
+        "push_username": _trim(F.regexp_extract(div, RE_PUSH_USERID, 1)),
+        # ' '.join(strings)[1:] drops the leading ':' (crawler/article.py:352-354)
+        "push_content": _trim(F.substring(content, 2, 0x7FFFFFFF)),
+        "push_ipdatetime": _trim(F.regexp_extract(div, RE_PUSH_IPDATETIME, 1)),
+    }
+
+
+# --- F6: content cleaning (crawler/article.py:326-339) ----------------------
+# NB: '/-_' is a character RANGE (0x2F-0x5F: digits, uppercase, '=', '?', …)
+# in the reference's class (crawler/article.py:331-333) — a quirk we keep.
+# (?U): Java \w/\s are ASCII-only by default, Python's are Unicode.
+RE_CHARSET_KEEP = (
+    "(?U)[^\u4e00-\u9fa5\u3002\uff1b\uff0c\uff1a\u201c\u201d\uff08\uff09"
+    "\u3001\uff1f\u300a\u300b\\s\\w:/-_.?~%()]"
+)
+
+
+def content_cleaned(html: Column, web_id: Column) -> Column:
+    lines = F.split(html, "\n")
+    body = F.filter(
+        lines,
+        lambda ln: (~ln.contains("article-metaline")) & (~ln.contains('class="push"')),
+    )
+    body = F.transform(body, lambda ln: F.trim(F.regexp_replace(ln, "<[^>]+>", "")))
+    body = F.filter(
+        body,
+        lambda v: (v != "")
+        & (F.substring(v, 1, 1) != "※")
+        & (F.substring(v, 1, 1) != "◆")
+        & (F.substring(v, 1, 2) != "--"),
+    )
+    body = F.transform(body, lambda v: F.regexp_replace(v, RE_CHARSET_KEEP, ""))
+    body = F.filter(body, lambda v: v != "")
+    body = F.filter(body, lambda v: ~v.contains(web_id))
+    return F.regexp_replace(F.array_join(body, " "), r"(\s)+", " ")
+
+
+# --- F8 / A3: push tag classification + tally (crawler/article.py:356-365) --
+def tag_class(push_tag: Column) -> Column:
+    return (
+        F.when(push_tag == "推", F.lit("push"))
+        .when(push_tag == "噓", F.lit("boo"))
+        .otherwise(F.lit("neutral"))
+    )
+
+
+# --- assembled parse stages --------------------------------------------------
+def parse_index_pages(fetched: DataFrame) -> DataFrame:
+    """Index pages → one row per entry (web_id, href, dom_pos), DOM order.
+
+    Input: columns (url, board, page_index, html, ...). The posexplode keeps
+    order as data (dom_pos), never relying on task order.
+    """
+    carry = [c for c in fetched.columns if c != "html"]
+    return (
+        fetched.withColumn("hrefs", index_entry_hrefs(F.col("html")))
+        .select(
+            *carry,
+            F.posexplode_outer("hrefs").alias("dom_pos", "href"),
+        )
+        .where(F.col("href").isNotNull())
+        .withColumn("entry_web_id", web_id_of(F.col("href")))
+    )
+
+
+def parse_articles(fetched: DataFrame) -> DataFrame:
+    """Article pages → PARSED_ARTICLE-shaped rows (one per page)."""
+    metas = meta_values(F.col("html"))
+    author_raw = F.coalesce(F.element_at(metas, 1), F.lit(""))
+    return fetched.select(
+        F.col("web_id"),
+        F.col("board"),
+        F.col("page_index"),
+        F.col("dom_pos"),
+        author_username(author_raw).alias("author_username"),
+        author_nickname(author_raw).alias("author_nickname"),
+        F.coalesce(F.element_at(metas, 2), F.lit("")).alias("title"),
+        post_datetime(F.coalesce(F.element_at(metas, 3), F.lit(""))).alias("post_datetime"),
+        post_ip(F.col("html")).alias("post_ip"),
+        content_cleaned(F.col("html"), F.col("web_id")).alias("content"),
+        F.col("image_bytes"), F.col("w"), F.col("h"), F.col("fmt"),
+        F.col("caption"), F.col("phash"),
+    )
+
+
+def parse_pushes(fetched: DataFrame) -> DataFrame:
+    """Article pages → PARSED_PUSH rows; floor = 1-based DOM position (W4)."""
+    exploded = (
+        fetched.select("web_id", F.posexplode(push_divs(F.col("html"))).alias("pos", "div"))
+    )
+    f = push_fields(F.col("div"))
+    return exploded.select(
+        "web_id",
+        (F.col("pos") + 1).cast("int").alias("floor"),
+        f["push_tag"].alias("push_tag"),
+        f["push_username"].alias("push_username"),
+        f["push_content"].alias("push_content"),
+        push_ip(f["push_ipdatetime"]).alias("push_ip"),
+        push_datetime(f["push_ipdatetime"]).alias("push_datetime"),
+    )

@@ -1,0 +1,788 @@
+"""Driver-facing query suite: SURVEY.md §2 operators + training-data-pipeline
+ops (dedup / similarity / text analysis) over the driver's TPC-H-ish tables.
+
+Every entry returns a DataFrame whose column names match its DuckDB oracle in
+ORACLE_SQL exactly (the driver sorts columns by name and value-hashes).
+Doubles are rounded on BOTH sides; derived timestamps are emitted as
+formatted strings to dodge tz-representation drift (session TZ is UTC).
+
+Each query's docstring cites the SURVEY §2 operator it evidences and the
+reference site it models. Queries marked "rows-only" have no SQL-expressible
+oracle (MinHash/SimHash banding); they get deterministic pytest properties
+instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the TW-IP report (query.py:78-118 — A4+J3+J4).
+# 'NATION_19' plays the role of 'TW' on TPC-H-ish data.
+# ---------------------------------------------------------------------------
+def flagship_tw_report(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    sup = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    cust_nat = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    art = (
+        orders.join(cust_nat, orders.o_custkey == cust_nat.c_custkey)
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_19", 1).otherwise(0)).alias("tw_count"),
+            F.sum(F.when(F.col("n_name") != "NATION_19", 1).otherwise(0)).alias("not_tw_count"),
+        )
+        .select(F.lit("Article").alias("report_type"), "tw_count", "not_tw_count")
+    )
+    sup_nat = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+    psh = (
+        li.join(F.broadcast(sup_nat), li.l_suppkey == sup_nat.s_suppkey)
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_19", 1).otherwise(0)).alias("tw_count"),
+            F.sum(F.when(F.col("n_name") != "NATION_19", 1).otherwise(0)).alias("not_tw_count"),
+        )
+        .select(F.lit("Push").alias("report_type"), "tw_count", "not_tw_count")
+    )
+    return art.unionByName(psh)
+
+
+FLAGSHIP_SQL = """
+SELECT 'Article' AS report_type,
+       sum(CASE WHEN n_name = 'NATION_19' THEN 1 ELSE 0 END) AS tw_count,
+       sum(CASE WHEN n_name <> 'NATION_19' THEN 1 ELSE 0 END) AS not_tw_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT 'Push' AS report_type,
+       sum(CASE WHEN n_name = 'NATION_19' THEN 1 ELSE 0 END) AS tw_count,
+       sum(CASE WHEN n_name <> 'NATION_19' THEN 1 ELSE 0 END) AS not_tw_count
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# --- P: projections / filters (SURVEY §2.2) --------------------------------
+def p1_point_lookup(spark, sf_dir):
+    """P1: get() point lookup, models/base.py:76-78."""
+    return (t(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") == 7)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("total")))
+
+
+def p2_conj_filter(spark, sf_dir):
+    """P2: get_list conjunctive equality filter, models/base.py:80-82."""
+    return (t(spark, sf_dir, "lineitem")
+            .where((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
+            .select("l_orderkey", "l_linenumber",
+                    F.round("l_quantity", 2).alias("qty")))
+
+
+def p3_filter_board(spark, sf_dir):
+    """P3: filter-by-board, crawler/article.py:524-526."""
+    return (t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+            .select("n_nationkey", "n_name"))
+
+
+def p4_date_cutoff(spark, sf_dir):
+    """P4: start-date cutoff filter, crawler/article.py:486-503."""
+    return (t(spark, sf_dir, "lineitem")
+            .where(F.col("l_shipdate") >= "1996-06-01")
+            .select("l_orderkey", "l_linenumber",
+                    F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day")))
+
+
+def p6_in_list_semi(spark, sf_dir):
+    """P6: IN-list over a query-derived id list, query.py:109."""
+    urgent = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (t(spark, sf_dir, "lineitem")
+            .join(urgent.select("o_orderkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+            .groupBy("l_returnflag").agg(F.count("*").alias("n")))
+
+
+def p7_seen_anti(spark, sf_dir):
+    """P7: URL-seen skip as anti-join, crawler/article.py:152-157."""
+    orders = t(spark, sf_dir, "orders")
+    return (t(spark, sf_dir, "customer")
+            .join(orders.select("o_custkey"),
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def p8_page_complete(spark, sf_dir):
+    """P8: page-complete count check, crawler/article.py:462-468."""
+    return (t(spark, sf_dir, "orders").groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"))
+            .where(F.col("n_orders") >= 15))
+
+
+# --- J: joins (SURVEY §2.3) --------------------------------------------------
+def j1_join_count(spark, sf_dir):
+    """J1: COUNT of index⋈article join, crawler/article.py:462-465."""
+    orders = t(spark, sf_dir, "orders").where(
+        F.date_format("o_orderdate", "yyyy-MM") == "1996-03")
+    n = (t(spark, sf_dir, "lineitem")
+         .join(orders.select("o_orderkey"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .agg(F.count("*").alias("n_rows")))
+    return n
+
+
+def j2_left_anti(spark, sf_dir):
+    """J2: frontier not-yet-fetched anti-join, crawler/article.py:528-531."""
+    li = t(spark, sf_dir, "lineitem")
+    return (t(spark, sf_dir, "part")
+            .join(li.select("l_partkey"), F.col("p_partkey") == F.col("l_partkey"),
+                  "left_anti")
+            .select("p_partkey", "p_name"))
+
+
+def j3_four_way(spark, sf_dir):
+    """J3: 4-way equi join + agg, query.py:87-93."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+def j5_broadcast_left(spark, sf_dir):
+    """J5: export's per-row dim lookup → broadcast left join, export.py:69-76."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+            .select("o_orderkey", "c_name", "c_mktsegment"))
+
+
+def j6_dim_nav(spark, sf_dir):
+    """J6: ORM relationship navigation = chained dim joins, export.py:64,85-86."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    return (cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .select("c_custkey", "n_name", "r_name"))
+
+
+def j7_upsert_new_keys(spark, sf_dir):
+    """J7: get_or_create WHEN NOT MATCHED key probe, models/base.py:54-65."""
+    existing = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 50)
+    return (t(spark, sf_dir, "orders").select("o_custkey").distinct()
+            .join(existing.select("c_custkey"),
+                  F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+            .select(F.col("o_custkey").alias("new_key")))
+
+
+# --- A: aggregations (SURVEY §2.4) -------------------------------------------
+def a1_minmax_group(spark, sf_dir):
+    """A1: frontier resume min/max index per board, crawler/article_index.py:77-82."""
+    return (t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+            .groupBy("o_custkey")
+            .agg(F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+def a3_push_tally(spark, sf_dir):
+    """A3: push/boo/neutral tally + count=p-b, crawler/article.py:343-365."""
+    return (t(spark, sf_dir, "lineitem").groupBy("l_orderkey")
+            .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("p"),
+                 F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("b"),
+                 F.sum(F.when(~F.col("l_returnflag").isin("R", "A"), 1).otherwise(0)).alias("n"))
+            .select("l_orderkey", "p", "b", "n",
+                    (F.col("p") - F.col("b")).alias("cnt"),
+                    (F.col("p") + F.col("b") + F.col("n")).alias("all_cnt")))
+
+
+def a5_latest_per_group(spark, sf_dir):
+    """A5: latest-history-per-article via group-by-pick, query.py:90-92."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    return (t(spark, sf_dir, "orders")
+            .withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select("o_custkey", F.col("o_orderkey").alias("latest_key")))
+
+
+# --- W: windows (SURVEY §2.5) ------------------------------------------------
+def w1_latest_version(spark, sf_dir):
+    """W1: history[0] = latest by start_at desc, models/article.py:54-55."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (t(spark, sf_dir, "orders")
+            .withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")))
+
+
+def w2_latest_login(spark, sf_dir):
+    """W2: last_record[0] per user, models/user.py:22-23, export.py:110-111."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (t(spark, sf_dir, "events")
+            .withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type",
+                    F.round("value", 2).alias("val")))
+
+
+def w4_floor_enumerate(spark, sf_dir):
+    """W4: push floor = 1-based enumerate in page order, crawler/article.py:211,228."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber",
+                    F.row_number().over(w).alias("floor")))
+
+
+def w5_version_rotation(spark, sf_dir):
+    """W5: keep newest VERSION_ROTATE versions, crawler/article.py:256-259 (top-3 here)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (t(spark, sf_dir, "orders")
+            .withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "rn"))
+
+
+def w6_fetch_priority(spark, sf_dir):
+    """W6: user queue order (login_times asc, id asc), crawler/user.py:157-158."""
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (t(spark, sf_dir, "customer")
+            .withColumn("fetch_rank", F.row_number().over(w))
+            .select("c_custkey", F.round("c_acctbal", 2).alias("bal"), "fetch_rank"))
+
+
+def w8_export_order(spark, sf_dir):
+    """W8: export ordered by post_datetime, export.py:59-60."""
+    w = Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (t(spark, sf_dir, "orders")
+            .withColumn("pos", F.row_number().over(w))
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+                    "pos"))
+
+
+# --- F: scalar functions (SURVEY §2.8) ---------------------------------------
+def f1_last_page_regex(spark, sf_dir):
+    """F1: pagination regex with default 1, crawler/article.py:398-402."""
+    g = F.regexp_extract(F.col("source"), "src([0-9]+)", 1)
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.when(g == "", F.lit(1)).otherwise(g.cast("int") + 1)
+                    .alias("last_page")))
+
+
+def f2_web_id_roundtrip(spark, sf_dir):
+    """F2+F12: URL assembly + web_id extraction, crawler/article.py:24-26,453-454."""
+    url = F.format_string("/bbs/%s/M.%d.A.html", F.col("lang"), F.col("doc_id"))
+    web_id = F.regexp_replace(F.element_at(F.split(url, "/"), -1), r"\.html", "")
+    return t(spark, sf_dir, "documents").select("doc_id", url.alias("url"),
+                                                web_id.alias("web_id"))
+
+
+def f4_push_ipdatetime(spark, sf_dir):
+    """F4: push ip+datetime regex with the %M:%S quirk, crawler/article.py:119-132."""
+    raw = F.format_string("10.0.0.%d %s", F.pmod(F.col("user_id"), F.lit(256)),
+                          F.date_format("ts", "MM/dd HH:mm"))
+    pat = r"([\d.]*)\W?(\d{2}/\d{2} \d{2}:\d{2})"
+    ip = F.regexp_extract(raw, pat, 1)
+    dt = F.try_to_timestamp(F.concat(F.lit("1900/"), F.regexp_extract(raw, pat, 2)),
+                            F.lit("yyyy/MM/dd mm:ss"))
+    return (t(spark, sf_dir, "events")
+            .select("event_id", ip.alias("push_ip"),
+                    F.date_format(dt, "yyyy-MM-dd HH:mm:ss").alias("push_dt")))
+
+
+def f10_date_format(spark, sf_dir):
+    """F10: output format '%m/%d %H:%M:%S', export.py:101,215."""
+    return (t(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "MM/dd HH:mm:ss").alias("fmt")))
+
+
+def f11_lower_board(spark, sf_dir):
+    """F11: board-name lowercasing, crawler/crawler_arg.py:23,50."""
+    return (t(spark, sf_dir, "customer")
+            .groupBy(F.lower("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n")))
+
+
+def f12_url_assembly(spark, sf_dir):
+    """F12: index URL from format template, crawler/article.py:420-422."""
+    return (t(spark, sf_dir, "nation")
+            .select("n_nationkey",
+                    F.format_string("/bbs/%s/index%d.html",
+                                    F.lower("n_name"), F.col("n_nationkey"))
+                    .alias("url")))
+
+
+# --- dedup suite (training-data ops, documents table) ------------------------
+def _words(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-key hash-groupBy (key: first 5 words, so the
+    synthetic corpus actually has groups)."""
+    key = F.md5(F.array_join(F.slice(_words(F.col("text")), 1, 5), " "))
+    return (t(spark, sf_dir, "documents")
+            .groupBy(key.alias("content_key"))
+            .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+            .where(F.col("n_copies") >= 2))
+
+
+def _shingles(col, n=3):
+    words = _words(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.array_join(
+        F.slice(words, i, n), " ")))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs within a language partition."""
+    docs = (t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", _shingles(F.col("text")).alias("sh")))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter / union
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .where(jac >= 0.18)
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                    F.round(jac, 4).alias("jaccard")))
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: cosine >= 0.4 (brute force; LSH path = ann_ivf)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(F.col("a.v"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(F.col("b.v"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (na * nb)
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .where(cos >= 0.4)
+            .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                    F.round(cos, 4).alias("cosine")))
+
+
+# --- similarity search --------------------------------------------------------
+def ann_topk_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.aggregate(F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nq = F.sqrt(F.aggregate(F.transform(F.col("qv"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos = (dot / (nv * nq)).alias("cosine")
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+            .select("vec_id", F.round(cos, 4).alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10))
+
+
+def ann_ivf_label(spark, sf_dir):
+    """IVF-style bucketed ANN: label = the coarse cell; search only the
+    query's nearest-centroid cell (the scale path vs brute force)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    # centroids per label
+    cent = (e.select("label", F.posexplode("v").alias("pos", "x"))
+            .groupBy("label", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("label")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                             lambda s: s.m).alias("cv")))
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def cosine(u, w_):
+        dot = F.aggregate(F.zip_with(u, w_, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        nu = F.sqrt(F.aggregate(F.transform(u, lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        nw = F.sqrt(F.aggregate(F.transform(w_, lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        return dot / (nu * nw)
+
+    best = (cent.crossJoin(F.broadcast(q))
+            .select("label", cosine(F.col("cv"), F.col("qv")).alias("ccos"))
+            .orderBy(F.col("ccos").desc(), F.col("label").asc()).limit(1)
+            .select(F.col("label").alias("best_label")))
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (e.join(F.broadcast(best), e.label == F.col("best_label"))
+            .where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", "label", F.round(cosine(F.col("v"), F.col("qv")), 4)
+                    .alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5))
+
+
+# --- text analysis -------------------------------------------------------------
+def text_token_count(spark, sf_dir):
+    """Whitespace token counting per document."""
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", F.size(_words(F.col("text"))).alias("n_tokens")))
+
+
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length + stopword-ratio heuristic."""
+    words = _words(F.col("text"))
+    n = F.size(words)
+    stop = F.size(F.filter(words, lambda w_: w_.isin("the", "a")))
+    score = F.round(F.least(n.cast("double") / 200.0, F.lit(1.0))
+                    - 0.5 * stop.cast("double") / n, 4)
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", n.alias("n_tokens"), stop.alias("n_stop"),
+                    score.alias("quality")))
+
+
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"(\s)+", " "))
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", F.md5(norm).alias("fingerprint")))
+
+
+def text_top_tokens(spark, sf_dir):
+    """Global token frequency top-10 (explode + agg + deterministic top-k)."""
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (t(spark, sf_dir, "documents")
+            .select(F.explode(_words(F.col("text"))).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10))
+
+
+# --- streaming-analog + misc ----------------------------------------------------
+def stream_tumbling_agg(spark, sf_dir):
+    """A6/streaming: tumbling 1h window agg over the events stream table."""
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    return (t(spark, sf_dir, "events")
+            .groupBy(bucket.alias("bucket"), F.col("event_type"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")))
+
+
+def stream_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions via lag + cumulative sum."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (t(spark, sf_dir, "events")
+            .withColumn("new_sess",
+                        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("session_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .select("user_id", "event_id", "session_id"))
+
+
+def events_json_extract(spark, sf_dir):
+    """JSON field extraction from the props column."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (t(spark, sf_dir, "events")
+            .groupBy("event_type").agg(F.sum(k).alias("k_sum"),
+                                       F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+ORACLE_SQL: dict[str, str] = {
+    "flagship_tw_report": FLAGSHIP_SQL,
+    "p1_point_lookup": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS total
+        FROM orders WHERE o_orderkey = 7""",
+    "p2_conj_filter": """
+        SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+        FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'""",
+    "p3_filter_board": """
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2""",
+    "p4_date_cutoff": """
+        SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'""",
+    "p6_in_list_semi": """
+        SELECT l_returnflag, count(*) AS n FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag""",
+    "p7_seen_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "p8_page_complete": """
+        SELECT o_custkey, count(*) AS n_orders FROM orders
+        GROUP BY o_custkey HAVING count(*) >= 15""",
+    "j1_join_count": """
+        SELECT count(*) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'""",
+    "j2_left_anti": """
+        SELECT p_partkey, p_name FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+    "j3_four_way": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""",
+    "j5_broadcast_left": """
+        SELECT o_orderkey, c_name, c_mktsegment
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    "j6_dim_nav": """
+        SELECT c_custkey, n_name, r_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey""",
+    "j7_upsert_new_keys": """
+        SELECT DISTINCT o_custkey AS new_key FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey <= 50)""",
+    "a1_minmax_group": """
+        SELECT o_custkey, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey""",
+    "a3_push_tally": """
+        SELECT l_orderkey, p, b, n, p - b AS cnt, p + b + n AS all_cnt FROM (
+          SELECT l_orderkey,
+                 sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p,
+                 sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS b,
+                 sum(CASE WHEN l_returnflag NOT IN ('R','A') THEN 1 ELSE 0 END) AS n
+          FROM lineitem GROUP BY l_orderkey)""",
+    "a5_latest_per_group": """
+        SELECT o_custkey, max(o_orderkey) AS latest_key FROM orders GROUP BY o_custkey""",
+    "w1_latest_version": """
+        SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        WHERE rn = 1""",
+    "w2_latest_login": """
+        SELECT user_id, event_id, event_type, round(value, 2) AS val
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        WHERE rn = 1""",
+    "w4_floor_enumerate": """
+        SELECT l_orderkey, l_linenumber,
+               row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+               AS floor FROM lineitem""",
+    "w5_version_rotation": """
+        SELECT o_custkey, o_orderkey, rn
+        FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        WHERE rn <= 3""",
+    "w6_fetch_priority": """
+        SELECT c_custkey, round(c_acctbal, 2) AS bal,
+               row_number() OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS fetch_rank
+        FROM customer""",
+    "w8_export_order": """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC) AS pos
+        FROM orders""",
+    "f1_last_page_regex": """
+        SELECT doc_id, CASE WHEN regexp_extract(source, 'src([0-9]+)', 1) = ''
+               THEN 1 ELSE cast(regexp_extract(source, 'src([0-9]+)', 1) AS int) + 1
+               END AS last_page
+        FROM documents""",
+    "f2_web_id_roundtrip": """
+        SELECT doc_id, printf('/bbs/%s/M.%d.A.html', lang, doc_id) AS url,
+               regexp_replace(
+                 str_split(printf('/bbs/%s/M.%d.A.html', lang, doc_id), '/')[-1],
+                 '\\.html', '') AS web_id
+        FROM documents""",
+    "f4_push_ipdatetime": """
+        WITH raw AS (
+          SELECT event_id,
+                 printf('10.0.0.%d %s', user_id % 256,
+                        strftime(ts, '%m/%d %H:%M')) AS s FROM events)
+        SELECT event_id,
+               regexp_extract(s, '([\\d.]*)\\W?(\\d{2}/\\d{2} \\d{2}:\\d{2})', 1)
+                 AS push_ip,
+               strftime(strptime('1900/' ||
+                   regexp_extract(s, '([\\d.]*)\\W?(\\d{2}/\\d{2} \\d{2}:\\d{2})', 2),
+                   '%Y/%m/%d %M:%S'), '%Y-%m-%d %H:%M:%S') AS push_dt
+        FROM raw""",
+    "f10_date_format": """
+        SELECT o_orderkey, strftime(o_orderdate, '%m/%d %H:%M:%S') AS fmt FROM orders""",
+    "f11_lower_board": """
+        SELECT lower(c_mktsegment) AS segment, count(*) AS n
+        FROM customer GROUP BY lower(c_mktsegment)""",
+    "f12_url_assembly": """
+        SELECT n_nationkey, printf('/bbs/%s/index%d.html', lower(n_name), n_nationkey)
+               AS url FROM nation""",
+    "dedup_exact": """
+        SELECT md5(array_to_string(string_split_regex(trim(text), '\\s+')[1:5], ' '))
+                 AS content_key,
+               min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY 1 HAVING count(*) >= 2""",
+    "dedup_ngram_jaccard": """
+        WITH d AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0) + 1),
+                   i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                 )) AS sh
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE cast(len(list_intersect(a.sh, b.sh)) AS double)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.18""",
+    "dedup_embedding_cosine": """
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> cast(x AS double)) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
+    "ann_topk_bruteforce": """
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> cast(x AS double)) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                       4) AS cosine
+          FROM e, q WHERE vec_id <> 0)
+        SELECT vec_id, cosine,
+               row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored QUALIFY rank <= 10""",
+    "ann_ivf_label": """
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> cast(x AS double)) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        expl AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+        cent AS (SELECT label, list(m ORDER BY pos) AS cv
+                 FROM (SELECT label, pos, avg(x) AS m FROM expl GROUP BY label, pos)
+                 GROUP BY label),
+        best AS (SELECT label AS best_label FROM cent, q
+                 ORDER BY list_dot_product(cv, qv) /
+                          (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                          DESC, label ASC LIMIT 1),
+        scored AS (
+          SELECT vec_id, label,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                       4) AS cosine
+          FROM e JOIN best ON label = best_label, q WHERE vec_id <> 0)
+        SELECT vec_id, label, cosine,
+               row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored QUALIFY rank <= 5""",
+    "text_token_count": """
+        SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents""",
+    "text_quality_score": """
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+                   FROM documents)
+        SELECT doc_id, len(words) AS n_tokens,
+               len(list_filter(words, x -> x IN ('the','a'))) AS n_stop,
+               round(least(cast(len(words) AS double) / 200.0, 1.0)
+                     - 0.5 * len(list_filter(words, x -> x IN ('the','a')))
+                       / cast(len(words) AS double), 4) AS quality
+        FROM w""",
+    "text_fingerprint": """
+        SELECT doc_id, md5(lower(regexp_replace(trim(text), '(\\s)+', ' ', 'g')))
+               AS fingerprint FROM documents""",
+    "text_top_tokens": """
+        SELECT token, n, rank FROM (
+          SELECT token, count(*) AS n,
+                 row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+          FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+                FROM documents)
+          GROUP BY token)
+        WHERE rank <= 10""",
+    "stream_tumbling_agg": """
+        SELECT cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS bucket,
+               event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2""",
+    "stream_sessionize": """
+        SELECT user_id, event_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                             ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)""",
+    "events_json_extract": """
+        SELECT event_type, sum(cast(json_extract_string(props, '$.k') AS int)) AS k_sum,
+               count(*) AS n
+        FROM events GROUP BY event_type""",
+}
+
+
+def queries():
+    """name → callable(spark, sf_dir) → DataFrame. Superset of ORACLE_SQL
+    keys: entries without an oracle get the driver's rows-only check."""
+    q = {
+        "flagship_tw_report": flagship_tw_report,
+        "p1_point_lookup": p1_point_lookup,
+        "p2_conj_filter": p2_conj_filter,
+        "p3_filter_board": p3_filter_board,
+        "p4_date_cutoff": p4_date_cutoff,
+        "p6_in_list_semi": p6_in_list_semi,
+        "p7_seen_anti": p7_seen_anti,
+        "p8_page_complete": p8_page_complete,
+        "j1_join_count": j1_join_count,
+        "j2_left_anti": j2_left_anti,
+        "j3_four_way": j3_four_way,
+        "j5_broadcast_left": j5_broadcast_left,
+        "j6_dim_nav": j6_dim_nav,
+        "j7_upsert_new_keys": j7_upsert_new_keys,
+        "a1_minmax_group": a1_minmax_group,
+        "a3_push_tally": a3_push_tally,
+        "a5_latest_per_group": a5_latest_per_group,
+        "w1_latest_version": w1_latest_version,
+        "w2_latest_login": w2_latest_login,
+        "w4_floor_enumerate": w4_floor_enumerate,
+        "w5_version_rotation": w5_version_rotation,
+        "w6_fetch_priority": w6_fetch_priority,
+        "w8_export_order": w8_export_order,
+        "f1_last_page_regex": f1_last_page_regex,
+        "f2_web_id_roundtrip": f2_web_id_roundtrip,
+        "f4_push_ipdatetime": f4_push_ipdatetime,
+        "f10_date_format": f10_date_format,
+        "f11_lower_board": f11_lower_board,
+        "f12_url_assembly": f12_url_assembly,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "ann_topk_bruteforce": ann_topk_bruteforce,
+        "ann_ivf_label": ann_ivf_label,
+        "text_token_count": text_token_count,
+        "text_quality_score": text_quality_score,
+        "text_fingerprint": text_fingerprint,
+        "text_top_tokens": text_top_tokens,
+        "stream_tumbling_agg": stream_tumbling_agg,
+        "stream_sessionize": stream_sessionize,
+        "events_json_extract": events_json_extract,
+    }
+    return q

@@ -37,3 +37,27 @@ def oracle(corpus_pdf, site_cfg):
     from pttcrawler_spark.oracle.simulator import run_oracle
 
     return run_oracle(corpus_pdf, site_cfg)
+
+
+def seeds_for(cfg):
+    return [
+        (cfg.board_name(i),
+         f"{cfg.base_url(cfg.board_name(i))}/bbs/{cfg.board_name(i)}/index.html")
+        for i in range(cfg.n_boards)
+    ]
+
+
+@pytest.fixture(scope="session")
+def crawled(spark, site_cfg, corpus_pdf):
+    """One full engine crawl over the session corpus, shared by all tests."""
+    import shutil
+    import tempfile
+
+    from pttcrawler_spark.engine import crawl as C
+
+    corpus = spark.createDataFrame(corpus_pdf)
+    out = tempfile.mkdtemp(prefix="crawl_shared_")
+    res = C.crawl(spark, corpus, seeds_for(site_cfg), out,
+                  C.CrawlConfig(delay_s=2.0, batch_seconds=20.0))
+    yield res
+    shutil.rmtree(out, ignore_errors=True)
