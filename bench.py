@@ -1,0 +1,250 @@
+#!/usr/bin/env python
+"""Benchmark entry point (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec, ...},
+   "sf": ..., "crawl": {...}, "scaling": {...}}
+
+Parts:
+- headline relational/dedup/text/ann queries from pttcrawler_spark.suite at
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+  local[$SPARK_GRAFT_CPUS] (default 32), each materialized through the noop
+  sink (full execution, no driver collect);
+- the crawl-engine throughput microbench (BASELINE.md target metric,
+  URLs/sec) over a deterministic synthetic multi-host site;
+- the N-vs-4N scaling run (--scaling or SPARK_GRAFT_BENCH_SCALING=1): the
+  SAME crawl job on the SAME pre-generated corpus at local[2] / local[8] /
+  local[32], each level in a fresh JVM — the sandbox substitution for the
+  north rule's two-cluster-size criterion. Results are cached to
+  BENCH_SCALING.json and folded into later bench runs (marked "cached").
+
+Worker mode (internal): ``python bench.py --crawl-worker --cores K
+--corpus DIR --site '<json>' --out F`` crawls a pre-generated corpus in a
+fresh interpreter and writes its JSON to F.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+# bench scratch lives on tmpfs when available: we benchmark the engine's
+# compute + orchestration, not the sandbox VM's virtual-disk jitter
+SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+# Headline set: one representative per operator family; the O(n^2) pair
+# queries (dedup_ngram_jaccard / dedup_embedding_cosine) are correctness-only
+# and excluded here — their scale path is the LSH/banded variants.
+HEADLINE = [
+    "flagship_tw_report",
+    "j3_four_way",
+    "p6_in_list_semi",
+    "a3_push_tally",
+    "w1_latest_version",
+    "w4_floor_enumerate",
+    "stream_sessionize",
+    "events_json_extract",
+    "text_top_tokens",
+    "text_fingerprint",
+    "dedup_exact",
+    "ann_topk_bruteforce",
+]
+
+# default crawl microbench site (≈22k URLs, ~7k-article steady batches)
+SITE_DEFAULT = {"n_boards": 128, "pages_per_board": 3, "articles_per_page": 64,
+                "img_w": 64, "img_h": 64}
+# scaling site: ~4× the per-batch article work so executor-parallel compute
+# dominates the per-batch fixed cost (see BASELINE.md analysis)
+SITE_SCALING = {"n_boards": 256, "pages_per_board": 3, "articles_per_page": 256,
+                "img_w": 64, "img_h": 64}
+SCALING_LEVELS = (2, 8, 32)
+
+
+def _noop_run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _site_cfg(site: dict):
+    from pttcrawler_spark.synth import site as S
+    return S.SiteConfig(**site)
+
+
+def _seeds(cfg) -> list[tuple[str, str]]:
+    return [(cfg.board_name(b),
+             f"{cfg.base_url(cfg.board_name(b))}/bbs/{cfg.board_name(b)}/index.html")
+            for b in range(cfg.n_boards)]
+
+
+def prepare_corpus(spark, site: dict, path: str) -> None:
+    from pttcrawler_spark.synth import site as S
+    S.generate_site(spark, _site_cfg(site)).write.mode("overwrite").parquet(path)
+
+
+def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
+    """Crawl a pre-generated corpus as fast as politeness allows (budget set
+    non-binding) and report overall + sustained URLs/sec."""
+    from pttcrawler_spark.engine import crawl as C
+    from pttcrawler_spark.session import get_spark
+
+    # 32 MB splits: the fetch scan's partition count caps the parallelism of
+    # every downstream stage in the batch (parse/verify/write); 128 MB splits
+    # of a ~2 GB corpus give only ~15 tasks — fewer than the cores at
+    # local[32]. On a real cluster the frontier is pre-partitioned by
+    # host_salt and this knob is sized per executor count the same way.
+    spark = get_spark(cores, app_name=f"crawl_bench_{cores}",
+                      extra_conf={"spark.sql.files.maxPartitionBytes":
+                                  str(32 * 1024 * 1024)})
+    cfg = _site_cfg(site)
+    # NOT persisted: each batch re-scans the corpus through the broadcast
+    # fetch join (no shuffle); the OS page cache serves the re-reads, which
+    # is both faster and more stable than JVM storage-memory eviction
+    corpus = spark.read.parquet(corpus_path)
+    out = tempfile.mkdtemp(prefix="crawl_bench_out_", dir=SCRATCH)
+    try:
+        ccfg = C.CrawlConfig(delay_s=0.01, batch_seconds=60.0)
+        t0 = time.perf_counter()
+        res = C.crawl(spark, corpus, _seeds(cfg), out, ccfg)
+        wall = time.perf_counter() - t0
+        n_fetched = res.frontier().where("status = 'fetched'").count()
+        # sustained = throughput over the steady-state drain batches (>=50%
+        # of peak batch size). Production batches are 10^6-10^7 URLs where
+        # the fixed per-batch cost is <1%; sandbox batches are 10^3-10^4, so
+        # the overall number still carries bootstrap/discovery fixed costs —
+        # report both.
+        peak = max((b["fetched"] for b in res.batch_stats), default=0)
+        steady = [b for b in res.batch_stats if b["fetched"] >= peak / 2 and peak > 0]
+        if len(steady) >= 3:
+            # the first full-size batch carries one-time JIT/codegen/Arrow
+            # warmup (measured ~2-3x the warm batch time) — drop it
+            steady = steady[1:]
+        sustained = (sum(b["fetched"] for b in steady)
+                     / max(sum(b["wall_s"] for b in steady), 1e-9))
+        return {
+            "cores": cores,
+            "urls_fetched": n_fetched,
+            "wall_s": round(wall, 3),
+            "urls_per_sec": round(n_fetched / wall, 2),
+            "sustained_urls_per_sec": round(sustained, 2),
+            "batches": res.final_batch + 1,
+            "batch_stats": res.batch_stats,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _run_worker(cores: int, site: dict, corpus_path: str) -> dict:
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+        path = f.name
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-worker",
+             "--cores", str(cores), "--corpus", corpus_path,
+             "--site", json.dumps(site), "--out", path],
+            check=True, cwd=REPO, timeout=3600,
+        )
+        with open(path) as fh:
+            return json.load(fh)
+    finally:
+        os.unlink(path)
+
+
+def scaling_bench(spark, levels=SCALING_LEVELS) -> dict:
+    """The SAME crawl job on the SAME corpus at each parallelism level, each
+    in a FRESH JVM — the sandbox substitution for N vs 4N executors."""
+    tmp = tempfile.mkdtemp(prefix="crawl_scaling_corpus_", dir=SCRATCH)
+    corpus_path = os.path.join(tmp, "corpus")
+    try:
+        prepare_corpus(spark, SITE_SCALING, corpus_path)
+        out: dict = {"site": SITE_SCALING}
+        for cores in levels:
+            r = _run_worker(cores, SITE_SCALING, corpus_path)
+            r.pop("batch_stats", None)
+            out[f"local[{cores}]"] = r
+        for lo, hi in zip(levels, levels[1:]):
+            for key, tag in [("urls_per_sec", "overall"),
+                             ("sustained_urls_per_sec", "sustained")]:
+                ratio = (out[f"local[{hi}]"][key] / out[f"local[{lo}]"][key])
+                out[f"speedup_{tag}_{lo}to{hi}"] = round(ratio, 3)
+                out[f"efficiency_{tag}_{lo}to{hi}"] = round(ratio / (hi / lo), 3)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl-worker", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--corpus", default=None)
+    ap.add_argument("--site", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skip-crawl", action="store_true")
+    args = ap.parse_args()
+
+    if args.crawl_worker:
+        result = crawl_corpus(args.cores or 32, json.loads(args.site), args.corpus)
+        with open(args.out, "w") as fh:
+            json.dump(result, fh)
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", args.cores or 32))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pttcrawler_spark import suite
+    from pttcrawler_spark.session import get_spark
+
+    spark = get_spark(cpus, app_name="bench")
+    qmap = suite.queries()
+    # JVM/codegen warmup so q1 doesn't pay the startup tax
+    _noop_run(qmap["p1_point_lookup"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _noop_run(qmap[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+    }
+
+    if not args.skip_crawl:
+        tmp = tempfile.mkdtemp(prefix="crawl_bench_corpus_", dir=SCRATCH)
+        try:
+            corpus_path = os.path.join(tmp, "corpus")
+            prepare_corpus(spark, SITE_DEFAULT, corpus_path)
+            result["crawl"] = crawl_corpus(cpus, SITE_DEFAULT, corpus_path)
+            result["crawl_urls_per_sec"] = result["crawl"]["urls_per_sec"]
+            result["crawl_sustained_urls_per_sec"] = (
+                result["crawl"]["sustained_urls_per_sec"])
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    cache = os.path.join(REPO, "BENCH_SCALING.json")
+    if args.scaling or os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
+        result["scaling"] = scaling_bench(spark)
+        with open(cache, "w") as fh:
+            json.dump(result["scaling"], fh, indent=2)
+    elif os.path.exists(cache):
+        with open(cache) as fh:
+            result["scaling"] = {"cached": True, **json.load(fh)}
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,8 @@ Scale design notes (100 TB / 10^10 URLs):
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -47,6 +49,23 @@ from ..functions import parse as FP
 from ..functions import url as FU
 from ..operators import politeness as POL
 from . import state as ST
+from . import verify as V
+
+_DEBUG_TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
+
+
+class _Phase:
+    """Per-batch phase timer (enabled via SPARK_GRAFT_DEBUG_TIMING=1)."""
+
+    def __init__(self) -> None:
+        self.t = time.perf_counter()
+
+    def mark(self, label: str) -> None:
+        if _DEBUG_TIMING:
+            now = time.perf_counter()
+            print(f"      [phase] {label}: {now - self.t:.3f}s", flush=True)
+            self.t = now
+
 
 _LOCAL_BITS = 22                     # local priority fits in 22 bits
 _BOOT_LOCAL = 1 << 21                # bootstrap outranks any page of its board
@@ -65,6 +84,7 @@ class CrawlConfig:
     use_bloom: bool = False         # bloom pre-filter for the candidate anti-join
     bloom_partitions: int = 16
     bloom_bits_per_key: int = 16
+    verify_payload: bool = True     # north-rule per-row PSNR/phash/caption check
 
     @property
     def burst(self) -> float:
@@ -80,6 +100,7 @@ class CrawlResult:
     final_batch: int
     n_fetched: int
     spark: SparkSession = field(repr=False)
+    batch_stats: list[dict] = field(default_factory=list)
 
     def frontier(self) -> DataFrame:
         return ST.load_snapshot(self.spark, self.out_dir).frontier
@@ -190,9 +211,12 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
 
     n_fetched_total = 0
     batches_run = 0
+    batch_stats: list[dict] = []
     while batches_run < cfg.max_batches:
         batches_run += 1
         batch_id += 1
+        t_batch = time.perf_counter()
+        ph = _Phase()
         pending = frontier.where(F.col("status") == "pending")
         if pending.isEmpty():
             batch_id -= 1
@@ -208,10 +232,30 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
             blocked = None
 
         admitted = marked.where(F.col("admit")).drop("admit")
-        # simulated fetch: URL → page body (a real deployment swaps this join
-        # for an HTTP applyInPandas stage; everything downstream is identical)
-        fetched = admitted.join(pages, "url", "left").persist()
-        n_rows = fetched.count()
+        # simulated fetch: URL → page body (a real deployment swaps this for
+        # an HTTP applyInPandas stage; everything downstream is identical).
+        # The admitted set (bounded by the politeness budget) is broadcast
+        # into the corpus scan, so the multi-GB corpus is never shuffled —
+        # the plan is a single pass over the corpus with a runtime filter,
+        # not a sort-merge join that spills both sides every batch.
+        matched = pages.join(F.broadcast(admitted), "url")
+        missing = admitted.join(pages.select("url"), "url", "left_anti")
+        for c, typ in [("_html", "string"), ("image_bytes", "binary"),
+                       ("w", "int"), ("h", "int"), ("fmt", "string"),
+                       ("caption", "string"), ("phash", "long")]:
+            missing = missing.withColumn(c, F.lit(None).cast(typ))
+        fetched = matched.unionByName(missing).persist()
+        # ONE control-flow action per batch: per-kind fetched/failed counts
+        # (everything else in the batch stays lazy until the table writes)
+        kind_rows = (
+            fetched.groupBy("kind")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum(F.when(F.col("_html").isNull(), 1).otherwise(0)).alias("n_fail"))
+            .collect()
+        )
+        ph.mark("admit+fetch+kindcount")
+        kc = {r["kind"]: (r["cnt"], r["n_fail"]) for r in kind_rows}
+        n_rows = sum(c for c, _ in kc.values())
         n_blocked = 0 if blocked is None else blocked.count()
         if n_rows == 0 and n_blocked == 0:
             # budget exhausted: advance the logical clock (commit the refill)
@@ -222,6 +266,9 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
             continue
 
         ok = fetched.where(F.col("_html").isNotNull())
+        n_boot = kc.get("bootstrap", (0, 0))[0] - kc.get("bootstrap", (0, 0))[1]
+        n_idx = kc.get("index", (0, 0))[0] - kc.get("index", (0, 0))[1]
+        n_art = kc.get("article", (0, 0))[0] - kc.get("article", (0, 0))[1]
 
         # --- bootstrap → seed the descending index range (F1) --------------
         boot = ok.where(F.col("kind") == "bootstrap")
@@ -250,45 +297,57 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
             F.lit("article").alias("kind"), "board", "board_rank", "page_index",
             "dom_pos", F.col("dom_pos").cast("long").alias("discovery_seq"),
         )
-        new_rows = _frontier_row_cols(candidates.unionByName(new_index))
+        pre_anti = _frontier_row_cols(candidates.unionByName(new_index))
         # dedupe within the batch (same URL discovered twice), deterministic
         w_url = Window.partitionBy("url").orderBy(
             F.col("priority").desc(), F.col("discovery_seq").asc())
-        new_rows = (
-            new_rows.withColumn("_rn", F.row_number().over(w_url))
+        pre_anti = (
+            pre_anti.withColumn("_rn", F.row_number().over(w_url))
             .where(F.col("_rn") == 1).drop("_rn")
         )
         # URL-seen: bloom pre-filter (scale path) + exact anti-join (truth)
         if bloom is not None:
-            maybe_seen, definitely_new = bloom.split(new_rows)
+            maybe_seen, definitely_new = bloom.split(pre_anti)
             verified_new = maybe_seen.join(frontier.select("url"), "url", "left_anti")
             new_rows = definitely_new.unionByName(verified_new)
         else:
-            new_rows = new_rows.join(frontier.select("url"), "url", "left_anti")
+            new_rows = pre_anti.join(frontier.select("url"), "url", "left_anti")
         new_rows = new_rows.persist()
-        n_candidates = candidates.count()
-        n_new = new_rows.where(F.col("kind") == "article").count()
+        ph.mark("discover(lazy)")
 
-        # --- article pages → parsed outputs --------------------------------
-        art = ok.where(F.col("kind") == "article").withColumn(
-            "web_id", FP.web_id_of(F.col("url")))
-        parsed_articles = FP.parse_articles(
-            art.select("web_id", "board", "page_index", "dom_pos",
-                       F.col("_html").alias("html"), "image_bytes", "w", "h",
-                       "fmt", "caption", "phash"))
-        parsed_pushes = FP.parse_pushes(
-            art.select("web_id", F.col("_html").alias("html")))
-        images = art.where(F.col("image_bytes").isNotNull()).select(
-            F.col("web_id").alias("image_id"), F.col("image_bytes").alias("bytes"),
-            "w", "h", "fmt", "caption", "phash")
-        article_index = entries.select(
-            F.col("entry_web_id").alias("web_id"), "board",
-            F.col("page_index").alias("index"))
-
-        ST.write_table_batch(parsed_articles, out_dir, "parsed_articles", batch_id)
-        ST.write_table_batch(parsed_pushes, out_dir, "parsed_pushes", batch_id)
-        ST.write_table_batch(images, out_dir, "images", batch_id)
-        ST.write_table_batch(article_index, out_dir, "article_index", batch_id)
+        # --- article pages → parsed outputs (only when articles fetched) ---
+        tables: dict = {}
+        if n_art > 0:
+            art = ok.where(F.col("kind") == "article").withColumn(
+                "web_id", FP.web_id_of(F.col("url")))
+            parsed_articles = FP.parse_articles(
+                art.select("web_id", "board", "page_index", "dom_pos",
+                           F.col("_html").alias("html")))
+            parsed_pushes = FP.parse_pushes(
+                art.select("web_id", F.col("_html").alias("html")))
+            images = art.where(F.col("image_bytes").isNotNull()).select(
+                F.col("web_id").alias("image_id"), F.col("image_bytes").alias("bytes"),
+                "w", "h", "fmt", "caption", "phash")
+            tables["parsed_articles"] = parsed_articles
+            tables["parsed_pushes"] = parsed_pushes
+            tables["images"] = images
+            if cfg.verify_payload:
+                # north-rule per-row invariant: decode + PSNR vs reference
+                # render + phash recompute + caption==title, Arrow-batched
+                expected = F.coalesce(
+                    F.element_at(FP.meta_values(F.col("_html")), 2), F.lit(""))
+                ver = V.verify_payloads(
+                    art.where(F.col("image_bytes").isNotNull())
+                    .select(F.col("web_id").alias("image_id"),
+                            F.col("image_bytes").alias("bytes"), "w", "h", "fmt",
+                            "caption", "phash",
+                            expected.alias("expected_caption")))
+                tables["payload_verify"] = ver
+        if n_idx > 0:
+            article_index = entries.select(
+                F.col("entry_web_id").alias("web_id"), "board",
+                F.col("page_index").alias("index"))
+            tables["article_index"] = article_index
 
         # --- frontier + politeness + metrics update -------------------------
         updates = fetched.select(
@@ -324,6 +383,10 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
 
         deferred = marked.where(~F.col("admit")).groupBy("host").agg(
             F.count("*").alias("_deferred"))
+        # per-partition lineage: deduped = discovered-this-batch minus
+        # actually-new, PER HOST (north rule: per-partition lineage/metrics)
+        cand_cnt = pre_anti.groupBy("host").agg(F.count("*").alias("_cand"))
+        new_cnt = new_rows.groupBy("host").agg(F.count("*").alias("_new"))
         metrics = (
             fetched.groupBy("host", "host_salt")
             .agg(
@@ -331,9 +394,13 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
                 F.sum(F.when(F.col("_html").isNull(), 1).otherwise(0)).alias("failed"),
             )
             .join(deferred, "host", "left")
+            .join(cand_cnt, "host", "left")
+            .join(new_cnt, "host", "left")
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .withColumn("partition_id", F.col("host_salt"))
-            .withColumn("deduped", F.lit(n_candidates - n_new).cast("long"))
+            .withColumn("deduped",
+                        (F.coalesce(F.col("_cand"), F.lit(0))
+                         - F.coalesce(F.col("_new"), F.lit(0))).cast("long"))
             .withColumn("deferred", F.coalesce(F.col("_deferred"), F.lit(0)).cast("long"))
             .select("batch_id", "partition_id", "host", "fetched", "deduped",
                     "deferred", "failed")
@@ -343,7 +410,19 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
             bloom.add(new_rows.select("url_hash"))
             bloom.save(out_dir, batch_id)
 
-        ST.commit_snapshot(out_dir, batch_id, frontier_next, politeness_next, metrics)
+        stats = {
+            "batch_id": batch_id,
+            "fetched": n_rows,
+            "bootstrap": n_boot,
+            "index": n_idx,
+            "article": n_art,
+        }
+        ph.mark("plan frontier/politeness/metrics")
+        ST.commit_batch(out_dir, batch_id, frontier_next, politeness_next, metrics,
+                        tables=tables, extra={"stats": stats})
+        ph.mark("commit_batch(parallel writes)")
+        stats["wall_s"] = round(time.perf_counter() - t_batch, 3)  # incl. commit
+        batch_stats.append(stats)
         n_fetched_total += n_rows
         fetched.unpersist()
         new_rows.unpersist()
@@ -353,4 +432,5 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
         frontier, politeness = snap2.frontier, snap2.politeness
 
     return CrawlResult(out_dir=out_dir, final_batch=batch_id,
-                       n_fetched=n_fetched_total, spark=spark)
+                       n_fetched=n_fetched_total, spark=spark,
+                       batch_stats=batch_stats)

@@ -190,7 +190,12 @@ def parse_index_pages(fetched: DataFrame) -> DataFrame:
 
 
 def parse_articles(fetched: DataFrame) -> DataFrame:
-    """Article pages → PARSED_ARTICLE-shaped rows (one per page)."""
+    """Article pages → PARSED_ARTICLE-shaped rows (one per page).
+
+    Deliberately excludes the binary payload columns: those land in the
+    ``images`` table only, so the multi-KB image bytes are written (and
+    shuffled) exactly once per fetch, not once per consuming table.
+    """
     metas = meta_values(F.col("html"))
     author_raw = F.coalesce(F.element_at(metas, 1), F.lit(""))
     return fetched.select(
@@ -204,8 +209,6 @@ def parse_articles(fetched: DataFrame) -> DataFrame:
         post_datetime(F.coalesce(F.element_at(metas, 3), F.lit(""))).alias("post_datetime"),
         post_ip(F.col("html")).alias("post_ip"),
         content_cleaned(F.col("html"), F.col("web_id")).alias("content"),
-        F.col("image_bytes"), F.col("w"), F.col("h"), F.col("fmt"),
-        F.col("caption"), F.col("phash"),
     )
 
 

@@ -225,6 +225,22 @@ PAGES_DDL = (
 )
 
 
+def _typed_pages_df(rows: list[dict]) -> pd.DataFrame:
+    """Rows → DataFrame with NULLABLE integer dtypes. Plain pd.DataFrame()
+    infers float64 for int columns containing None (the index-page rows),
+    which silently rounds 64-bit phash values — float64 carries 53 bits."""
+    pdf = pd.DataFrame(rows) if rows else pd.DataFrame(
+        {c.split(" ")[0]: [] for c in PAGES_DDL.split(", ")})
+    for col, dtype in (("page_index", "Int32"), ("dom_pos", "Int32"),
+                       ("w", "Int32"), ("h", "Int32"), ("phash", "Int64")):
+        if col in pdf.columns and len(rows):
+            # rebuild from the raw python values: pd.DataFrame() has already
+            # inferred float64 (None-containing int column), and casting the
+            # rounded floats back would keep the corruption
+            pdf[col] = pd.array([r.get(col) for r in rows], dtype=dtype)
+    return pdf
+
+
 def generate_site(spark, cfg: SiteConfig, num_partitions: int | None = None):
     """Distributed corpus generation: one task slice per (board, page) range.
 
@@ -240,8 +256,7 @@ def generate_site(spark, cfg: SiteConfig, num_partitions: int | None = None):
             for gid in pdf["id"].tolist():
                 b, page0 = divmod(int(gid), cfg.pages_per_board)
                 out.extend(page_rows(cfg, b, page0 + 1))
-            yield pd.DataFrame(out) if out else pd.DataFrame(
-                {c.split(" ")[0]: [] for c in PAGES_DDL.split(", ")})
+            yield _typed_pages_df(out)
 
     return (
         spark.range(0, total, 1, num_partitions)
@@ -255,4 +270,4 @@ def generate_site_pandas(cfg: SiteConfig) -> pd.DataFrame:
     for b in range(cfg.n_boards):
         for page in range(1, cfg.pages_per_board + 1):
             out.extend(page_rows(cfg, b, page))
-    return pd.DataFrame(out)
+    return _typed_pages_df(out)

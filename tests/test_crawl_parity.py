@@ -104,6 +104,20 @@ def test_payload_roundtrip_psnr(crawled):
     assert lossy > 0  # the lossy path is actually exercised
 
 
+def test_payload_verify_table(crawled):
+    """Engine-side north-rule invariant stage (engine/verify.py): every
+    fetched payload decodes, PSNR-passes vs the reference render, phash
+    round-trips EXACTLY (regression: float64 inference in the synth
+    generator silently rounded 64-bit phashes), caption == title."""
+    pv = crawled.table("payload_verify").toPandas()
+    assert len(pv) > 0
+    assert pv.pixel_ok.all()
+    assert pv.phash_ok.all()
+    assert pv.caption_ok.all()
+    assert (pv[pv.fmt == "jpeg"].psnr_db >= 40).all()
+    assert (pv[pv.fmt == "jpeg"].psnr_db < 1e8).all()  # lossy is actually lossy
+
+
 def test_article_index_upsert_semantics(crawled, oracle):
     eng = (crawled.table("article_index").toPandas()
            .drop_duplicates(subset=["web_id"]).set_index("web_id"))
