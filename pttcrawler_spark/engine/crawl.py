@@ -81,7 +81,8 @@ class CrawlConfig:
     robots: dict[str, list[str]] | None = None
     start_index: int = 1
     max_batches: int = 10_000
-    use_bloom: bool = False         # bloom pre-filter for the candidate anti-join
+    use_bloom: bool = False         # back-compat alias for seen_filter='bloom'
+    seen_filter: str = ""           # '' (exact anti-join) | 'bloom' | 'cuckoo'
     bloom_partitions: int = 16
     bloom_bits_per_key: int = 16
     verify_payload: bool = True     # north-rule per-row PSNR/phash/caption check
@@ -203,11 +204,17 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
         batch_id = -1
 
     bloom = None
-    if cfg.use_bloom:
+    filter_kind = cfg.seen_filter or ("bloom" if cfg.use_bloom else "")
+    if filter_kind == "bloom":
         from ..operators import bloom as BL
         bloom = BL.BloomState(cfg.bloom_partitions, cfg.bloom_bits_per_key)
-        if snap is None or not bloom.load(out_dir, batch_id):
-            bloom.rebuild(frontier.select("url_hash"))
+    elif filter_kind == "cuckoo":
+        from ..operators import cuckoo as CK
+        bloom = CK.CuckooState(cfg.bloom_partitions)
+    elif filter_kind:
+        raise ValueError(f"unknown seen_filter {filter_kind!r}")
+    if bloom is not None and (snap is None or not bloom.load(out_dir, batch_id)):
+        bloom.rebuild(frontier.select("url_hash"))
 
     n_fetched_total = 0
     batches_run = 0
@@ -434,3 +441,95 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
     return CrawlResult(out_dir=out_dir, final_batch=batch_id,
                        n_fetched=n_fetched_total, spark=spark,
                        batch_stats=batch_stats)
+
+
+def mark_for_recrawl(spark: SparkSession, out_dir: str, urls,
+                     cfg: CrawlConfig | None = None) -> int:
+    """--upgrade analog (crawler/article.py:152-157: the seen-skip applies
+    only when NOT upgrading): flip the given fetched URLs back to pending in
+    a NEW committed snapshot. A subsequent ``crawl(..., resume=True)``
+    refetches them, appending fresh rows to the per-batch output tables (the
+    SCD-2 history append — old parsed rows stay in their batch directories).
+
+    The URL-seen filter is deliberately NOT touched: the URL remains
+    *enqueued* (dedupe is about enqueueing, refetch is about status), so a
+    re-discovered link to it must still dedupe away. Deleting from the seen
+    set is the job of :func:`purge_urls`.
+
+    ``urls``: DataFrame with a ``url`` column (or list of url strings).
+    Returns the number of frontier rows flipped.
+    """
+    cfg = cfg or CrawlConfig()
+    if not isinstance(urls, DataFrame):
+        urls = spark.createDataFrame([(u,) for u in urls], "url string")
+    snap = ST.load_snapshot(spark, out_dir)
+    if snap is None:
+        raise ValueError(f"no committed snapshot under {out_dir}")
+    urls = urls.select("url").distinct()
+    n = (snap.frontier.join(urls, "url", "left_semi")
+         .where(F.col("status") == "fetched").count())
+    frontier_next = (
+        snap.frontier.join(urls.withColumn("_re", F.lit(True)), "url", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_re") & (F.col("status") == "fetched"), F.lit("pending"))
+            .otherwise(F.col("status")))
+        .drop("_re")
+    )
+    new_batch = snap.batch_id + 1
+    _carry_filter(out_dir, snap.batch_id, new_batch, cfg)
+    ST.commit_batch(out_dir, new_batch, frontier_next, snap.politeness,
+                    extra={"recrawl_marked": n})
+    return n
+
+
+def purge_urls(spark: SparkSession, out_dir: str, urls,
+               cfg: CrawlConfig | None = None) -> int:
+    """Retire URLs entirely: DELETE their frontier rows and remove them from
+    the URL-seen filter — the flow the deletable cuckoo variant exists for
+    (a Bloom filter cannot un-see, so under seen_filter='bloom' this rebuilds
+    the filter from the surviving frontier — correct but a full pass).
+    Purged URLs CAN later be re-discovered and re-crawled as brand-new
+    frontier rows. Returns the number of rows deleted."""
+    cfg = cfg or CrawlConfig()
+    if not isinstance(urls, DataFrame):
+        urls = spark.createDataFrame([(u,) for u in urls], "url string")
+    snap = ST.load_snapshot(spark, out_dir)
+    if snap is None:
+        raise ValueError(f"no committed snapshot under {out_dir}")
+    urls = urls.select("url").distinct()
+    doomed = snap.frontier.join(urls, "url", "left_semi")
+    n = doomed.count()
+    frontier_next = snap.frontier.join(urls, "url", "left_anti")
+    filter_kind = cfg.seen_filter or ("bloom" if cfg.use_bloom else "")
+    new_batch = snap.batch_id + 1
+    if filter_kind == "cuckoo":
+        from ..operators import cuckoo as CK
+        ck = CK.CuckooState(cfg.bloom_partitions)
+        if ck.load(out_dir, snap.batch_id):
+            ck.remove(doomed.select("url_hash"))
+            ck.save(out_dir, new_batch)
+    elif filter_kind == "bloom":
+        from ..operators import bloom as BL
+        bl = BL.BloomState(cfg.bloom_partitions, cfg.bloom_bits_per_key)
+        bl.rebuild(frontier_next.select("url_hash"))
+        bl.save(out_dir, new_batch)
+    ST.commit_batch(out_dir, new_batch, frontier_next, snap.politeness,
+                    extra={"purged": n})
+    return n
+
+
+def _carry_filter(out_dir: str, old_batch: int, new_batch: int,
+                  cfg: CrawlConfig) -> None:
+    """Copy the seen-filter blobs forward so the new snapshot is complete."""
+    filter_kind = cfg.seen_filter or ("bloom" if cfg.use_bloom else "")
+    if filter_kind == "cuckoo":
+        from ..operators import cuckoo as CK
+        st = CK.CuckooState(cfg.bloom_partitions)
+    elif filter_kind == "bloom":
+        from ..operators import bloom as BL
+        st = BL.BloomState(cfg.bloom_partitions, cfg.bloom_bits_per_key)
+    else:
+        return
+    if st.load(out_dir, old_batch):
+        st.save(out_dir, new_batch)

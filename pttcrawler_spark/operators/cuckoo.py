@@ -208,6 +208,17 @@ class CuckooState:
                 probed.where(~F.col("maybe_seen")).select(*cols))
 
     def save(self, out_dir: str, batch_id: int) -> None:
-        d = Path(out_dir) / "state" / f"batch={batch_id}" / "cuckoo"
+        d = self._dir(out_dir, batch_id)
         self.blobs.write.mode("overwrite").parquet(str(d))
         self.blobs = self.blobs.sparkSession.read.parquet(str(d))
+
+    def _dir(self, out_dir: str, batch_id: int) -> Path:
+        return Path(out_dir) / "state" / f"batch={batch_id}" / "cuckoo"
+
+    def load(self, out_dir: str, batch_id: int) -> bool:
+        d = self._dir(out_dir, batch_id)
+        if not d.exists():
+            return False
+        from pyspark.sql import SparkSession
+        self.blobs = SparkSession.getActiveSession().read.parquet(str(d))
+        return True

@@ -387,6 +387,90 @@ def dedup_embedding_cosine(spark, sf_dir):
                     F.round(cos, 4).alias("cosine")))
 
 
+_MINHASH_K, _LSH_BANDS, _LSH_ROWS = 12, 4, 3
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates — the SCALE path for pair generation:
+    shingle → k md5-minhashes → band signatures → bucket self-join. Cost is
+    O(n·k + candidate pairs), never O(n²); the md5-string minima make the
+    signature engine-portable (DuckDB oracle computes the identical bands).
+    """
+    docs = (t(spark, sf_dir, "documents")
+            .select("doc_id", _shingles(F.col("text")).alias("sh"))
+            .where(F.size("sh") > 0))
+    minh = F.transform(
+        F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)),
+        lambda i: F.array_min(F.transform(
+            F.col("sh"),
+            lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))))
+    mh = docs.select("doc_id", minh.alias("mh"))
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
+        lambda j: F.md5(F.array_join(
+            F.slice(F.col("mh"), j * _LSH_ROWS + 1, _LSH_ROWS), "|")))
+    bd = mh.select("doc_id", F.posexplode(bands).alias("band", "sig"))
+    a, b = bd.alias("a"), bd.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def text_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprint per document (near-dup sketch): per bit p,
+    majority vote of bit p of md5(token) over distinct tokens. Emitted as a
+    64-char bitstring so the DuckDB oracle is byte-identical."""
+    toks = F.array_distinct(_words(F.col("text")))
+    hs = F.transform(toks, lambda w_: F.md5(w_))
+    docs = t(spark, sf_dir, "documents").select("doc_id", hs.alias("hs"))
+
+    def bit_of(h, p):
+        digit = F.conv(F.substr(h, (p / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int")
+        return (F.floor(digit / F.pow(F.lit(2.0), (3 - p % 4).cast("double"))).cast("int") % 2)
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda p: F.when(
+            F.aggregate(F.col("hs"), F.lit(0),
+                        lambda acc, h: acc + (2 * bit_of(h, p) - 1)) > 0,
+            F.lit("1")).otherwise(F.lit("0")))
+    return docs.select("doc_id", F.array_join(bits, "").alias("simhash"))
+
+
+_LANG_MARKERS = [
+    ("en", ("the", "a", "of")),
+    ("de", ("der", "die", "und")),
+    ("es", ("el", "los", "y")),
+    ("fr", ("le", "les", "et")),
+]
+
+
+def text_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword-marker counts per language + CJK char
+    count for zh; first-wins argmax chain (deterministic, CASE-identical in
+    the DuckDB oracle)."""
+    words = _words(F.col("text"))
+    scores = {lang: F.size(F.filter(words, lambda w_: w_.isin(*m)))
+              for lang, m in _LANG_MARKERS}
+    scores["zh"] = F.length(F.regexp_replace(F.col("text"), "[^一-龥]", ""))
+    order = ["en", "de", "es", "fr", "zh"]
+    pred = F.lit(order[-1])
+    chain = None
+    for i, lang in enumerate(order[:-1]):
+        cond = None
+        for later in order[i + 1:]:
+            c = scores[lang] >= scores[later]
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    pred = chain.otherwise(pred)
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", *[scores[o].alias(f"s_{o}") for o in order],
+                    pred.alias("pred_lang")))
+
+
 # --- similarity search --------------------------------------------------------
 def ann_topk_bruteforce(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector."""
@@ -477,6 +561,97 @@ def text_top_tokens(spark, sf_dir):
             .groupBy("token").agg(F.count("*").alias("n"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 10))
+
+
+# --- remaining SURVEY §2 operators -------------------------------------------
+def j4_enrich_semi(spark, sf_dir):
+    """J4: push ⋈ ip_asn + semi-filter on history ids, query.py:107-109 —
+    fact ⋈ broadcast dim + left_semi against a query-derived key list."""
+    sup = t(spark, sf_dir, "supplier")
+    urgent = (t(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey"))
+    return (t(spark, sf_dir, "lineitem")
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(urgent, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+            .groupBy("s_nationkey")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total")))
+
+
+def f3_author_regex(spark, sf_dir):
+    """F3: author 'username (nick)' split, crawler/article.py:134-140 —
+    regex with raw-value fallback when the pattern misses."""
+    raw = F.concat(F.col("c_name"), F.lit(" ("), F.col("c_mktsegment"), F.lit(")"))
+    pat = r"([\S]*)\D\((.*)\)"
+    return (t(spark, sf_dir, "customer")
+            .select("c_custkey",
+                    F.when(raw.rlike(pat), F.regexp_extract(raw, pat, 1))
+                    .otherwise(raw).alias("username"),
+                    F.when(raw.rlike(pat), F.regexp_extract(raw, pat, 2)).alias("nickname")))
+
+
+def f5_ip_extract(spark, sf_dir):
+    """F5: post-ip from the 發信站 line, crawler/article.py:320-324."""
+    line = F.format_string("※ 發信站: 批踢踢實業坊(ptt.test), 來自: 10.%d.%d.%d",
+                           F.pmod(F.col("user_id"), F.lit(200)),
+                           F.pmod(F.col("event_id"), F.lit(250)),
+                           F.pmod(F.col("user_id") + F.col("event_id"), F.lit(250)))
+    ip = F.regexp_extract(line, r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", 0)
+    return (t(spark, sf_dir, "events")
+            .select("event_id", F.nullif(ip, F.lit("")).alias("post_ip")))
+
+
+def export_article_sheet(spark, sf_dir):
+    """§3.2 export sheet: dims via broadcast joins + global export order
+    (export.py:44-125 N+1 loop → one declarative plan)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    w = Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .withColumn("row_no", F.row_number().over(w))
+            .select(F.col("o_orderkey").alias("article_id"),
+                    F.col("c_name").alias("author"),
+                    F.col("n_name").alias("board"),
+                    F.date_format("o_orderdate", "MM/dd HH:mm:ss").alias("post_dt"),
+                    F.round("o_totalprice", 2).alias("total"),
+                    "row_no"))
+
+
+# --- multimodal image ops (rows-only: custom codec has no SQL oracle; the
+# invariants are pinned by tests/test_image_ops.py goldens instead) ----------
+def _doc_image_ids(spark, sf_dir, modulo=None):
+    ids = t(spark, sf_dir, "documents").select(
+        (F.pmod(F.col("doc_id"), F.lit(modulo)) if modulo else F.col("doc_id"))
+        .cast("string").alias("image_id"))
+    return ids
+
+
+def img_decode_stats(spark, sf_dir):
+    """Multimodal feature-extract: deterministic image table from doc ids →
+    decode → channel stats via mapInPandas (functions/image_ops.py)."""
+    from .functions import image_ops as IMG
+    return IMG.decode_stats(IMG.build_images_df(_doc_image_ids(spark, sf_dir)))
+
+
+def img_resize_thumb(spark, sf_dir):
+    """Multimodal thumbnail stage: decode → 8×8 NN-resize → re-encode;
+    bytes dropped from the result (driver hashes values)."""
+    from .functions import image_ops as IMG
+    return (IMG.resize(IMG.build_images_df(_doc_image_ids(spark, sf_dir)), 8, 8)
+            .select("image_id", "w", "h", "fmt", "thumb_phash"))
+
+
+def img_phash_dedup(spark, sf_dir):
+    """Image near-dup via perceptual hash: ids folded mod 40 so exact
+    duplicate images exist; group by recomputed phash."""
+    from .functions import image_ops as IMG
+    imgs = IMG.build_images_df(_doc_image_ids(spark, sf_dir, modulo=40))
+    return (IMG.phash_col(imgs)
+            .groupBy("phash64").agg(F.count("*").alias("n_copies"))
+            .where(F.col("n_copies") >= 2))
 
 
 # --- streaming-analog + misc ----------------------------------------------------
@@ -717,6 +892,95 @@ ORACLE_SQL: dict[str, str] = {
                 FROM documents)
           GROUP BY token)
         WHERE rank <= 10""",
+    "dedup_minhash_lsh": """
+        WITH d AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0) + 1),
+                   i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                 )) AS sh
+          FROM documents),
+        mh AS (
+          SELECT doc_id,
+                 list_transform(range(0, 12), i ->
+                   list_aggregate(list_transform(sh, s ->
+                     md5(cast(i AS varchar) || ':' || s)), 'min')) AS m
+          FROM d WHERE len(sh) > 0),
+        bands AS (
+          SELECT doc_id, cast(j AS int) AS band,
+                 md5(array_to_string(m[j*3+1 : j*3+3], '|')) AS sig
+          FROM mh, range(0, 4) t(j))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+    "text_simhash": """
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(list_distinct(string_split_regex(trim(text), '\\s+')),
+                                t -> md5(t)) AS hs
+          FROM documents)
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, 64), p ->
+                 CASE WHEN list_sum(list_transform(hs, x ->
+                        2 * (cast(floor((instr('0123456789abcdef',
+                                    substr(x, cast(floor(p/4) AS int) + 1, 1)) - 1)
+                                  / pow(2, 3 - (p % 4))) AS int) % 2) - 1)) > 0
+                      THEN '1' ELSE '0' END), '') AS simhash
+        FROM h""",
+    "text_langid": """
+        WITH w AS (SELECT doc_id, text,
+                          string_split_regex(trim(text), '\\s+') AS words
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     len(list_filter(words, x -> x IN ('the','a','of'))) AS s_en,
+                     len(list_filter(words, x -> x IN ('der','die','und'))) AS s_de,
+                     len(list_filter(words, x -> x IN ('el','los','y'))) AS s_es,
+                     len(list_filter(words, x -> x IN ('le','les','et'))) AS s_fr,
+                     length(regexp_replace(text, '[^一-龥]', '', 'g')) AS s_zh
+              FROM w)
+        SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM s""",
+    "j4_enrich_semi": """
+        SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY s_nationkey""",
+    "f3_author_regex": """
+        WITH r AS (SELECT c_custkey,
+                          c_name || ' (' || c_mktsegment || ')' AS raw
+                   FROM customer)
+        SELECT c_custkey,
+               CASE WHEN regexp_matches(raw, '([\\S]*)\\D\\((.*)\\)')
+                    THEN regexp_extract(raw, '([\\S]*)\\D\\((.*)\\)', 1)
+                    ELSE raw END AS username,
+               CASE WHEN regexp_matches(raw, '([\\S]*)\\D\\((.*)\\)')
+                    THEN regexp_extract(raw, '([\\S]*)\\D\\((.*)\\)', 2)
+                    END AS nickname
+        FROM r""",
+    "f5_ip_extract": """
+        WITH l AS (
+          SELECT event_id,
+                 printf('※ 發信站: 批踢踢實業坊(ptt.test), 來自: 10.%d.%d.%d',
+                        user_id % 200, event_id % 250,
+                        (user_id + event_id) % 250) AS line
+          FROM events)
+        SELECT event_id,
+               nullif(regexp_extract(line, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', 0), '')
+                 AS post_ip
+        FROM l""",
+    "export_article_sheet": """
+        SELECT o_orderkey AS article_id, c_name AS author, n_name AS board,
+               strftime(o_orderdate, '%m/%d %H:%M:%S') AS post_dt,
+               round(o_totalprice, 2) AS total,
+               row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC) AS row_no
+        FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey""",
     "stream_tumbling_agg": """
         SELECT cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS bucket,
                event_type, count(*) AS n, round(sum(value), 2) AS total
@@ -775,6 +1039,13 @@ def queries():
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "text_simhash": text_simhash,
+        "text_langid": text_langid,
+        "j4_enrich_semi": j4_enrich_semi,
+        "f3_author_regex": f3_author_regex,
+        "f5_ip_extract": f5_ip_extract,
+        "export_article_sheet": export_article_sheet,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_ivf_label": ann_ivf_label,
         "text_token_count": text_token_count,
@@ -784,5 +1055,9 @@ def queries():
         "stream_tumbling_agg": stream_tumbling_agg,
         "stream_sessionize": stream_sessionize,
         "events_json_extract": events_json_extract,
+        # rows-only (custom codec — no SQL oracle; tests/test_image_ops.py)
+        "img_decode_stats": img_decode_stats,
+        "img_resize_thumb": img_resize_thumb,
+        "img_phash_dedup": img_phash_dedup,
     }
     return q

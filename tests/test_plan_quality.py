@@ -1,0 +1,71 @@
+"""Physical-plan assertions: the suite queries must produce the plans we
+designed for 100 TB, not just correct answers — filters pushed to the scan,
+columns pruned, dims broadcast, whole-stage codegen engaged."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pttcrawler_spark import suite
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = suite.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_scan(spark):
+    plan = _plan(spark, "p4_date_cutoff")
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "p2_conj_filter")
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    # only the needed lineitem columns are read, not all 16
+    assert "l_orderkey" in read and "l_comment" not in read
+    assert read.count(":") <= 6
+
+
+def test_dims_broadcast(spark):
+    for name in ("j6_dim_nav", "j3_four_way", "flagship_tw_report"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+    # fact-side join strategy is not a cartesian product anywhere
+    assert "CartesianProduct" not in _plan(spark, "j3_four_way")
+
+
+def test_whole_stage_codegen(spark):
+    # AQE shows codegen stages ('*(n)') only in the FINAL plan → execute first
+    df = suite.queries()["a3_push_tally"](spark, SF)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    assert "*(" in buf.getvalue()
+
+
+def test_anti_and_semi_joins_planned(spark):
+    assert "LeftAnti" in _plan(spark, "j2_left_anti")
+    assert "LeftSemi" in _plan(spark, "p6_in_list_semi")
+
+
+def test_partial_aggregation(spark):
+    # map-side combine: HashAggregate appears twice (partial + final)
+    plan = _plan(spark, "f11_lower_board")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    # the LSH self-join is an equi-join on (band, sig) — never a cross join
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan

@@ -1,0 +1,103 @@
+"""Structured Streaming surface tests (pttcrawler_spark/streaming/stream.py):
+file-source crawl via foreachBatch, watermarked window agg, and the
+applyInPandasWithState sessionizer."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from pttcrawler_spark.streaming import stream as STR
+from pttcrawler_spark.synth.site import SiteConfig, generate_site_pandas
+
+
+def _write_frontier_files(d: Path, rows: list[dict], per_file: int = 5) -> None:
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(0, len(rows), per_file):
+        with open(d / f"part-{i:05d}.json", "w") as fh:
+            for r in rows[i:i + per_file]:
+                fh.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark):
+    base = Path(tempfile.mkdtemp(prefix="stream_test_"))
+    yield base
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_foreachbatch_crawl_stream(spark, stream_dirs):
+    cfg = SiteConfig(n_boards=1, pages_per_board=2, articles_per_page=4)
+    pdf = generate_site_pandas(cfg)
+    corpus = spark.createDataFrame(pdf)
+    arts = pdf[pdf.kind == "article"]
+    rows = [{"url": r.url, "kind": "article", "board": r.board,
+             "page_index": int(r.page_index), "dom_pos": int(r.dom_pos),
+             "event_ts": "2025-08-01T00:00:00Z"} for r in arts.itertuples()]
+    src = stream_dirs / "frontier_in"
+    _write_frontier_files(src, rows, per_file=1)  # 7 files, 4/trigger → 2 batches
+
+    out = str(stream_dirs / "parsed_out")
+    chk = str(stream_dirs / "chk")
+    q = STR.run_crawl_stream(
+        STR.frontier_file_stream(spark, str(src)), corpus, out, chk)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == len(rows)
+    # micro-batches were bounded by maxFilesPerTrigger (>=2 batches)
+    assert got.select("batch_id").distinct().count() >= 2
+    # parse fields real: every article got an author + title
+    assert got.where(F.col("title") == "").count() == 0
+
+    # exactly-once on restart: rerun with same checkpoint → no new rows
+    q2 = STR.run_crawl_stream(
+        STR.frontier_file_stream(spark, str(src)), corpus, out, chk)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == len(rows)
+
+
+def test_windowed_fetch_rate_with_watermark(spark, stream_dirs):
+    src = stream_dirs / "rate_in"
+    rows = []
+    for i in range(20):
+        rows.append({"url": f"u{i}", "kind": "article", "board": "b0",
+                     "page_index": 1, "dom_pos": i,
+                     "event_ts": f"2025-08-01T00:{i // 10:02d}:{(i * 7) % 60:02d}Z"})
+    _write_frontier_files(src, rows, per_file=7)
+    agg = STR.windowed_fetch_rate(
+        STR.frontier_file_stream(spark, str(src)), window_s=60, watermark_s=120)
+    q = (agg.writeStream.format("memory").queryName("win_agg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("SELECT * FROM win_agg ORDER BY win_start").toPandas()
+    assert res["n_fetched"].sum() == 20
+    assert len(res) == 2  # two 1-minute windows
+
+
+def test_sessionize_stateful(spark, stream_dirs):
+    src = stream_dirs / "sess_in"
+    rows = []
+    # two sessions on board b0 separated by a 2h gap; session 0 has 3 events
+    for i, ts in enumerate(["00:00:00", "00:10:00", "00:20:00", "03:00:00",
+                            "03:05:00"]):
+        rows.append({"url": f"s{i}", "kind": "article", "board": "b0",
+                     "page_index": 1, "dom_pos": i,
+                     "event_ts": f"2025-08-01T{ts}Z"})
+    _write_frontier_files(src, rows, per_file=len(rows))
+    sess = STR.sessionize_stateful(
+        STR.frontier_file_stream(spark, str(src)), gap_s=1800)
+    q = (sess.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    time.sleep(1)
+    res = spark.sql("SELECT * FROM sessions").toPandas()
+    # only the CLOSED session is emitted (session 1 still open in state)
+    assert len(res) == 1
+    assert res.iloc[0]["session_id"] == 0
+    assert res.iloc[0]["n_events"] == 3
