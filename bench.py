@@ -62,7 +62,7 @@ SITE_DEFAULT = {"n_boards": 128, "pages_per_board": 3, "articles_per_page": 64,
                 "img_w": 64, "img_h": 64}
 # scaling site: ~4× the per-batch article work so executor-parallel compute
 # dominates the per-batch fixed cost (see BASELINE.md analysis)
-SITE_SCALING = {"n_boards": 256, "pages_per_board": 3, "articles_per_page": 256,
+SITE_SCALING = {"n_boards": 256, "pages_per_board": 6, "articles_per_page": 192,
                 "img_w": 64, "img_h": 64}
 SCALING_LEVELS = (2, 8, 32)
 

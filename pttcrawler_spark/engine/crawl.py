@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -252,30 +253,20 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
                        ("caption", "string"), ("phash", "long")]:
             missing = missing.withColumn(c, F.lit(None).cast(typ))
         fetched = matched.unionByName(missing).persist()
-        # ONE control-flow action per batch: per-kind fetched/failed counts
-        # (everything else in the batch stays lazy until the table writes)
-        kind_rows = (
-            fetched.groupBy("kind")
+        # the only control-flow action of the batch (per-kind fetched/failed
+        # counts, used for stats AND to materialize the persist) runs in a
+        # background thread, OVERLAPPED with planning + the commit's parallel
+        # write jobs — a budget-exhausted batch degenerates to a no-op refill
+        # commit, so no special-casing on the counts is needed
+        count_pool = ThreadPoolExecutor(max_workers=1)
+        kind_fut = count_pool.submit(
+            lambda: fetched.groupBy("kind")
             .agg(F.count("*").alias("cnt"),
                  F.sum(F.when(F.col("_html").isNull(), 1).otherwise(0)).alias("n_fail"))
-            .collect()
-        )
-        ph.mark("admit+fetch+kindcount")
-        kc = {r["kind"]: (r["cnt"], r["n_fail"]) for r in kind_rows}
-        n_rows = sum(c for c, _ in kc.values())
-        n_blocked = 0 if blocked is None else blocked.count()
-        if n_rows == 0 and n_blocked == 0:
-            # budget exhausted: advance the logical clock (commit the refill)
-            ST.commit_snapshot(out_dir, batch_id, frontier, politeness, None)
-            snap2 = ST.load_snapshot(spark, out_dir)
-            frontier, politeness = snap2.frontier, snap2.politeness
-            fetched.unpersist()
-            continue
+            .collect())
+        ph.mark("admit+fetch(lazy)")
 
         ok = fetched.where(F.col("_html").isNotNull())
-        n_boot = kc.get("bootstrap", (0, 0))[0] - kc.get("bootstrap", (0, 0))[1]
-        n_idx = kc.get("index", (0, 0))[0] - kc.get("index", (0, 0))[1]
-        n_art = kc.get("article", (0, 0))[0] - kc.get("article", (0, 0))[1]
 
         # --- bootstrap → seed the descending index range (F1) --------------
         boot = ok.where(F.col("kind") == "bootstrap")
@@ -322,39 +313,46 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
         new_rows = new_rows.persist()
         ph.mark("discover(lazy)")
 
-        # --- article pages → parsed outputs (only when articles fetched) ---
+        # --- article pages → parsed outputs ---------------------------------
         tables: dict = {}
-        if n_art > 0:
-            art = ok.where(F.col("kind") == "article").withColumn(
-                "web_id", FP.web_id_of(F.col("url")))
-            parsed_articles = FP.parse_articles(
-                art.select("web_id", "board", "page_index", "dom_pos",
-                           F.col("_html").alias("html")))
-            parsed_pushes = FP.parse_pushes(
-                art.select("web_id", F.col("_html").alias("html")))
-            images = art.where(F.col("image_bytes").isNotNull()).select(
-                F.col("web_id").alias("image_id"), F.col("image_bytes").alias("bytes"),
-                "w", "h", "fmt", "caption", "phash")
-            tables["parsed_articles"] = parsed_articles
-            tables["parsed_pushes"] = parsed_pushes
-            tables["images"] = images
-            if cfg.verify_payload:
-                # north-rule per-row invariant: decode + PSNR vs reference
-                # render + phash recompute + caption==title, Arrow-batched
-                expected = F.coalesce(
-                    F.element_at(FP.meta_values(F.col("_html")), 2), F.lit(""))
-                ver = V.verify_payloads(
-                    art.where(F.col("image_bytes").isNotNull())
-                    .select(F.col("web_id").alias("image_id"),
-                            F.col("image_bytes").alias("bytes"), "w", "h", "fmt",
-                            "caption", "phash",
-                            expected.alias("expected_caption")))
-                tables["payload_verify"] = ver
-        if n_idx > 0:
-            article_index = entries.select(
-                F.col("entry_web_id").alias("web_id"), "board",
-                F.col("page_index").alias("index"))
-            tables["article_index"] = article_index
+        art = ok.where(F.col("kind") == "article").withColumn(
+            "web_id", FP.web_id_of(F.col("url")))
+        # F7: unparseable pages (PostException analog) become status rows
+        # in parse_errors; everything downstream sees only parse-ok pages
+        # (the reference's per-article try/except skip,
+        # crawler/article.py:472-483)
+        err = FP.parse_error(F.col("_html"))
+        art_ok = art.where(err.isNull())
+        parsed_articles = FP.parse_articles(
+            art_ok.select("web_id", "board", "page_index", "dom_pos",
+                          F.col("_html").alias("html"))).drop("parse_error")
+        parsed_pushes = FP.parse_pushes(
+            art_ok.select("web_id", F.col("_html").alias("html")))
+        images = art_ok.where(F.col("image_bytes").isNotNull()).select(
+            F.col("web_id").alias("image_id"), F.col("image_bytes").alias("bytes"),
+            "w", "h", "fmt", "caption", "phash")
+        parse_errors = art.where(err.isNotNull()).select(
+            "web_id", "board", "url", err.alias("error"))
+        tables["parsed_articles"] = parsed_articles
+        tables["parsed_pushes"] = parsed_pushes
+        tables["images"] = images
+        tables["parse_errors"] = parse_errors
+        if cfg.verify_payload:
+            # north-rule per-row invariant: decode + PSNR vs reference
+            # render + phash recompute + caption==title, Arrow-batched
+            expected = F.coalesce(
+                F.try_element_at(FP.meta_values(F.col("_html")), F.lit(2)), F.lit(""))
+            ver = V.verify_payloads(
+                art_ok.where(F.col("image_bytes").isNotNull())
+                .select(F.col("web_id").alias("image_id"),
+                        F.col("image_bytes").alias("bytes"), "w", "h", "fmt",
+                        "caption", "phash",
+                        expected.alias("expected_caption")))
+            tables["payload_verify"] = ver
+        article_index = entries.select(
+            F.col("entry_web_id").alias("web_id"), "board",
+            F.col("page_index").alias("index"))
+        tables["article_index"] = article_index
 
         # --- frontier + politeness + metrics update -------------------------
         updates = fetched.select(
@@ -417,18 +415,21 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
             bloom.add(new_rows.select("url_hash"))
             bloom.save(out_dir, batch_id)
 
+        ph.mark("plan frontier/politeness/metrics")
+        ST.commit_batch(out_dir, batch_id, frontier_next, politeness_next, metrics,
+                        tables=tables)
+        ph.mark("commit_batch(parallel writes)")
+        kc = {r["kind"]: (r["cnt"], r["n_fail"]) for r in kind_fut.result()}
+        count_pool.shutdown()
+        n_rows = sum(c for c, _ in kc.values())
         stats = {
             "batch_id": batch_id,
             "fetched": n_rows,
-            "bootstrap": n_boot,
-            "index": n_idx,
-            "article": n_art,
+            "bootstrap": kc.get("bootstrap", (0, 0))[0] - kc.get("bootstrap", (0, 0))[1],
+            "index": kc.get("index", (0, 0))[0] - kc.get("index", (0, 0))[1],
+            "article": kc.get("article", (0, 0))[0] - kc.get("article", (0, 0))[1],
+            "wall_s": round(time.perf_counter() - t_batch, 3),
         }
-        ph.mark("plan frontier/politeness/metrics")
-        ST.commit_batch(out_dir, batch_id, frontier_next, politeness_next, metrics,
-                        tables=tables, extra={"stats": stats})
-        ph.mark("commit_batch(parallel writes)")
-        stats["wall_s"] = round(time.perf_counter() - t_batch, 3)  # incl. commit
         batch_stats.append(stats)
         n_fetched_total += n_rows
         fetched.unpersist()

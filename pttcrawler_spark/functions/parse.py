@@ -161,6 +161,36 @@ def content_cleaned(html: Column, web_id: Column) -> Column:
     return F.regexp_replace(F.array_join(body, " "), r"(\s)+", " ")
 
 
+# --- F7: transcription (轉錄) fallback + PostException analog ----------------
+# crawler/article.py:299-313; no exceptions in dataflow → error column
+RE_TRANS = (r"\W(\w+)\W\([0-9]*\.[0-9]*\.[0-9]*\.[0-9]*\),"
+            r"\W([0-9]+/[0-9]+/[0-9]+\W[0-9]+:[0-9]+:[0-9]+)")
+PARSE_ERROR_MSG = "此文章被編輯過，解析出現問題。"  # crawler/article.py:313
+
+
+def trans_line(html: Column) -> Column:
+    line = F.regexp_extract(html, r"(?m)^.*※ 轉錄者:.*$", 0)
+    return F.regexp_replace(line, "<[^>]+>", "")
+
+
+def trans_author(html: Column) -> Column:
+    return F.regexp_extract(trans_line(html), RE_TRANS, 1)
+
+
+def trans_datetime(html: Column) -> Column:
+    # strptime '%m/%d/%Y %H:%M:%S' (crawler/article.py:308-309)
+    return F.try_to_timestamp(F.regexp_extract(trans_line(html), RE_TRANS, 2),
+                              F.lit("MM/dd/yyyy HH:mm:ss"))
+
+
+def parse_error(html: Column) -> Column:
+    """NULL when parseable; the PostException message when neither metalines
+    nor a 轉錄者 line exist."""
+    has_metas = F.size(meta_values(html)) > 0
+    has_trans = html.contains("※ 轉錄者:")
+    return F.when(~has_metas & ~has_trans, F.lit(PARSE_ERROR_MSG))
+
+
 # --- F8 / A3: push tag classification + tally (crawler/article.py:356-365) --
 def tag_class(push_tag: Column) -> Column:
     return (
@@ -196,8 +226,16 @@ def parse_articles(fetched: DataFrame) -> DataFrame:
     ``images`` table only, so the multi-KB image bytes are written (and
     shuffled) exactly once per fetch, not once per consuming table.
     """
-    metas = meta_values(F.col("html"))
-    author_raw = F.coalesce(F.element_at(metas, 1), F.lit(""))
+    html = F.col("html")
+    metas = meta_values(html)
+    has_metas = F.size(metas) > 0
+    # F7: no metalines → transcription fallback (author/date from the
+    # 轉錄者 line; title stays '' exactly like the reference)
+    author_raw = F.when(has_metas, F.coalesce(F.try_element_at(metas, F.lit(1)), F.lit(""))) \
+        .otherwise(F.coalesce(trans_author(html), F.lit("")))
+    post_dt = F.when(has_metas,
+                     post_datetime(F.coalesce(F.try_element_at(metas, F.lit(3)), F.lit("")))) \
+        .otherwise(trans_datetime(html))
     return fetched.select(
         F.col("web_id"),
         F.col("board"),
@@ -205,10 +243,12 @@ def parse_articles(fetched: DataFrame) -> DataFrame:
         F.col("dom_pos"),
         author_username(author_raw).alias("author_username"),
         author_nickname(author_raw).alias("author_nickname"),
-        F.coalesce(F.element_at(metas, 2), F.lit("")).alias("title"),
-        post_datetime(F.coalesce(F.element_at(metas, 3), F.lit(""))).alias("post_datetime"),
-        post_ip(F.col("html")).alias("post_ip"),
-        content_cleaned(F.col("html"), F.col("web_id")).alias("content"),
+        F.when(has_metas, F.coalesce(F.try_element_at(metas, F.lit(2)), F.lit("")))
+        .otherwise(F.lit("")).alias("title"),
+        post_dt.alias("post_datetime"),
+        post_ip(html).alias("post_ip"),
+        content_cleaned(html, F.col("web_id")).alias("content"),
+        parse_error(html).alias("parse_error"),
     )
 
 

@@ -30,6 +30,12 @@ RE_CHARSET = re.compile(
     r"[^\u4e00-\u9fa5\u3002\uff1b\uff0c\uff1a\u201c\u201d\uff08\uff09\u3001\uff1f\u300a\u300b\s\w:/-_.?~%()]"
 )
 RE_META_VALUE = re.compile(r'<span class="article-meta-value">([^<]*)</span>')
+# crawler/article.py:301-310 — F7 transcription (轉錄) fallback author/date
+RE_TRANS = re.compile(
+    r"\W(\w+)\W\([0-9]*\.[0-9]*\.[0-9]*\.[0-9]*\),"
+    r"\W([0-9]+\/[0-9]+\/[0-9]+\W[0-9]+:[0-9]+:[0-9]+)")
+TRANS_DATE_FMT = "%m/%d/%Y %H:%M:%S"  # crawler/article.py:308-309
+PARSE_ERROR_MSG = "此文章被編輯過，解析出現問題。"  # crawler/article.py:313
 RE_PUSH_DIV = re.compile(
     r'<div class="push"><span class="push-tag">([^<]*)</span>'
     r'<span class="push-userid">([^<]*)</span>'
@@ -99,6 +105,25 @@ def parse_article(html: str, web_id: str, board: str) -> dict:
     title = metas[1] if len(metas) > 1 else ""
     date = metas[2] if len(metas) > 2 else ""
 
+    # F7: no metalines → transcription fallback, else PostException-analog
+    # (crawler/article.py:299-313; the caller's try/except at :472-483 makes
+    # a raising article a skipped article)
+    error = None
+    if not metas:
+        trans = None
+        for line in html.split("\n"):
+            if "※ 轉錄者:" in line:
+                trans = RE_TAG.sub("", line)
+                break
+        if trans is not None:
+            m = RE_TRANS.search(trans)
+            if m:
+                author = m.group(1)
+                date = datetime.strptime(m.group(2), TRANS_DATE_FMT) \
+                    .strftime(DATE_FMT)
+        else:
+            error = PARSE_ERROR_MSG
+
     pushes = RE_PUSH_DIV.findall(html)
 
     ip = None
@@ -142,6 +167,7 @@ def parse_article(html: str, web_id: str, board: str) -> dict:
         "date": date,
         "content": content,
         "ip": ip,
+        "error": error,
         "message_count": {"all": p + b + n, "count": p - b, "push": p, "boo": b, "neutral": n},
         "messages": messages,
     }

@@ -95,6 +95,10 @@ class OracleSimulator:
                 url = f"{base}{href}"
                 art_row = self._fetch(url, "article", host)
                 rec = P.parse_article(art_row.html, web_id, board)
+                if rec.get("error"):
+                    # parse raised → caught per-article → never appended
+                    # (crawler/article.py:472-483); the fetch still happened
+                    continue
                 rec["fetch_seq"] = self.seq
                 rec["payload"] = {
                     "image_id": art_row.web_id, "bytes": art_row.image_bytes,
@@ -120,6 +124,9 @@ class OracleSimulator:
     def _output_database(self, records: list[dict]):
         """Mirror of _output_database (crawler/article.py:142-261), add mode."""
         for rec in records:
+            if rec.get("error"):
+                continue  # PostException → caught+logged → skipped
+                # (crawler/article.py:313, 472-483)
             author_username = P.parse_author(rec["author"]) or ""
             if rec["article_id"] in self.articles:
                 continue  # skip existing (crawler/article.py:152-157)

@@ -130,6 +130,16 @@ def index_page_html(cfg: SiteConfig, b: int, page: int) -> str:
     return "\n".join(parts)
 
 
+def article_kind(cfg: SiteConfig, no: int) -> str:
+    """'normal' | 'transcription' (F7 fallback path) | 'broken' (F7
+    PostException path). Deterministic in the article number."""
+    if no % 13 == 11:
+        return "transcription"
+    if no % 29 == 27:
+        return "broken"
+    return "normal"
+
+
 def article_page_html(cfg: SiteConfig, b: int, page: int, pos: int) -> str:
     board = cfg.board_name(b)
     wid = web_id_for(cfg, b, page, pos)
@@ -140,6 +150,7 @@ def article_page_html(cfg: SiteConfig, b: int, page: int, pos: int) -> str:
     title = f"[測試] article {wid}"
     date_str = _post_date_str(cfg, no)
     ip = _ip_for(rng)
+    kind = article_kind(cfg, no)
     # content: a deterministic selection of lines incl. ones the cleaner drops
     lines = [_CONTENT_LINES[(no + i) % len(_CONTENT_LINES)] for i in range(5)]
     lines.append(f"文章網址: https://{cfg.host(board)}/bbs/{board}/{wid}.html")  # dropped: contains web_id
@@ -162,15 +173,27 @@ def article_page_html(cfg: SiteConfig, b: int, page: int, pos: int) -> str:
             '<span class="push-ipdatetime">{d}</span></div>'.format(t=tag, u=uid, c=pcontent, d=ipdt)
         )
 
+    if kind == "normal":
+        head = (
+            '<div class="article-metaline"><span class="article-meta-tag">作者</span>'
+            f'<span class="article-meta-value">{author} ({nick})</span></div>\n'
+            '<div class="article-metaline"><span class="article-meta-tag">標題</span>'
+            f'<span class="article-meta-value">{title}</span></div>\n'
+            '<div class="article-metaline"><span class="article-meta-tag">時間</span>'
+            f'<span class="article-meta-value">{date_str}</span></div>\n'
+        )
+    elif kind == "transcription":
+        # F7 fallback: no metalines, a 轉錄者 line instead
+        # (crawler/article.py:301-310)
+        trans_dt = pd.Timestamp("2025-08-01") + pd.Timedelta(minutes=17 * no)
+        head = (f"※ 轉錄者: {author} ({ip}), "
+                f"{trans_dt.strftime('%m/%d/%Y %H:%M:%S')}\n")
+    else:  # broken: no metalines, no 轉錄者 → PostException analog
+        head = "這篇文章的標頭被編輯掉了\n"
     return (
         '<html><body><div id="main-content">\n'
-        '<div class="article-metaline"><span class="article-meta-tag">作者</span>'
-        f'<span class="article-meta-value">{author} ({nick})</span></div>\n'
-        '<div class="article-metaline"><span class="article-meta-tag">標題</span>'
-        f'<span class="article-meta-value">{title}</span></div>\n'
-        '<div class="article-metaline"><span class="article-meta-tag">時間</span>'
-        f'<span class="article-meta-value">{date_str}</span></div>\n'
-        f"{body}\n"
+        + head
+        + f"{body}\n"
         f"※ 發信站: 批踢踢實業坊(ptt.test), 來自: {ip}\n"
         + "\n".join(pushes)
         + "\n</div></body></html>"
@@ -200,9 +223,13 @@ def page_rows(cfg: SiteConfig, b: int, page: int) -> list[dict]:
         if is_deleted(cfg, b, page, pos):
             continue
         wid = web_id_for(cfg, b, page, pos)
-        fmt = "jpeg" if article_no(cfg, b, page, pos) % 3 == 0 else "png"
+        no = article_no(cfg, b, page, pos)
+        fmt = "jpeg" if no % 3 == 0 else "png"
+        # caption mirrors the parsed title: transcription/broken pages have
+        # no 標題 metaline → title '' → caption '' (verify parity)
+        caption = f"[測試] article {wid}" if article_kind(cfg, no) == "normal" else ""
         payload = img.build_payload(wid, cfg.img_w, cfg.img_h, fmt,
-                                    caption=f"[測試] article {wid}")
+                                    caption=caption)
         rows.append({
             "url": f"{base}/bbs/{board}/{wid}.html",
             "kind": "article",

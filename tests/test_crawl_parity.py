@@ -94,8 +94,10 @@ def test_payload_roundtrip_psnr(crawled):
                 dec = I.decode(bytes(b))
                 p = I.psnr(ref, dec)
                 psnrs.append(p)
+                # caption mirrors the parsed title; transcription pages have
+                # title '' → caption '' (F7)
                 ok.append((p == float("inf") if fmt == "png" else p >= 40.0)
-                          and iid in cap)
+                          and (cap == "" or iid in cap))
             yield pd.DataFrame({"image_id": pdf["image_id"], "ok": ok, "psnr": psnrs})
 
     res = imgs.mapInPandas(verify, schema="image_id string, ok boolean, psnr double").toPandas()
@@ -116,6 +118,27 @@ def test_payload_verify_table(crawled):
     assert pv.caption_ok.all()
     assert (pv[pv.fmt == "jpeg"].psnr_db >= 40).all()
     assert (pv[pv.fmt == "jpeg"].psnr_db < 1e8).all()  # lossy is actually lossy
+
+
+def test_f7_transcription_fallback_and_parse_errors(crawled):
+    """F7 (crawler/article.py:299-313): pages without metalines either parse
+    via the 轉錄者 fallback (author/date recovered, title '') or land in the
+    parse_errors table (PostException analog) and nowhere else."""
+    errs = crawled.table("parse_errors").toPandas()
+    assert len(errs) >= 1
+    assert (errs.error == "此文章被編輯過，解析出現問題。").all()
+    pa = crawled.table("parsed_articles").toPandas()
+    assert not set(errs.web_id) & set(pa.web_id)
+    assert "parse_error" not in pa.columns
+    trans = pa[pa.title == ""]
+    assert len(trans) >= 1
+    assert (trans.author_username != "").all()
+    assert trans.post_datetime.notna().all()
+    # errored pages produce no pushes/images either
+    for tbl in ("parsed_pushes", "images"):
+        t = crawled.table(tbl).toPandas()
+        key = "web_id" if "web_id" in t.columns else "image_id"
+        assert not set(errs.web_id) & set(t[key])
 
 
 def test_article_index_upsert_semantics(crawled, oracle):
