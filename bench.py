@@ -142,12 +142,17 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
 def _run_worker(cores: int, site: dict, corpus_path: str) -> dict:
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         path = f.name
+    env = dict(os.environ)
+    # the 32-thread level on the larger scaling corpus exhausts an 8g heap
+    # (GCLocker retry aborts in Arrow/parquet allocation paths) — workers
+    # get a heap sized for the worst level; the box has 125 GiB
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     try:
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-worker",
              "--cores", str(cores), "--corpus", corpus_path,
              "--site", json.dumps(site), "--out", path],
-            check=True, cwd=REPO, timeout=3600,
+            check=True, cwd=REPO, timeout=3600, env=env,
         )
         with open(path) as fh:
             return json.load(fh)

@@ -38,6 +38,7 @@ Scale design notes (100 TB / 10^10 URLs):
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -80,6 +81,7 @@ class CrawlConfig:
     capacity: float | None = None   # token bucket burst; default = one batch refill
     impl: str = "window"            # 'window' | 'pandas' politeness impl
     robots: dict[str, list[str]] | None = None
+    start_date: _dt.datetime | None = None  # P4 cutoff + early stop
     start_index: int = 1
     max_batches: int = 10_000
     use_bloom: bool = False         # back-compat alias for seen_filter='bloom'
@@ -231,12 +233,14 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
             break
 
         politeness = POL.refill(politeness, cfg.batch_seconds, cfg.burst)
+        strict = cfg.start_date is not None
         if cfg.impl == "pandas":
-            marked = POL.admit_apply_in_pandas(pending, politeness, cfg.robots)
+            marked = POL.admit_apply_in_pandas(pending, politeness, cfg.robots,
+                                               strict_barrier=strict)
             blocked = marked.where(F.col("robots_blocked")).drop("admit", "robots_blocked")
             marked = marked.drop("robots_blocked")
         else:
-            marked = POL.admit_window(pending, politeness)
+            marked = POL.admit_window(pending, politeness, strict_barrier=strict)
             blocked = None
 
         admitted = marked.where(F.col("admit")).drop("admit")
@@ -326,6 +330,22 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
         parsed_articles = FP.parse_articles(
             art_ok.select("web_id", "board", "page_index", "dom_pos",
                           F.col("_html").alias("html"))).drop("parse_error")
+        # P4: start-date cutoff + early stop (crawler/article.py:486-503).
+        # Unparseable dates drop silently; a parseable date BELOW the cutoff
+        # both drops the article and stops that board's crawl at this page
+        # (pending lower pages are cancelled below).
+        stop_pages = None
+        if cfg.start_date is not None:
+            dt_ok = F.col("post_datetime").isNotNull()
+            cut = F.lit(cfg.start_date)
+            stop_pages = (parsed_articles
+                          .where(dt_ok & (F.col("post_datetime") < cut))
+                          .groupBy("board")
+                          .agg(F.min("page_index").alias("_stop_page")))
+            parsed_articles = parsed_articles.where(
+                dt_ok & (F.col("post_datetime") >= cut))
+            kept = parsed_articles.select("web_id")
+            art_ok = art_ok.join(kept, "web_id", "left_semi")
         parsed_pushes = FP.parse_pushes(
             art_ok.select("web_id", F.col("_html").alias("html")))
         images = art_ok.where(F.col("image_bytes").isNotNull()).select(
@@ -373,6 +393,19 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
             .drop("_new_status")
             .unionByName(new_rows.withColumn("batch_id", F.lit(batch_id).cast("long")))
         )
+        if stop_pages is not None:
+            # early stop: cancel this board's not-yet-fetched lower pages
+            frontier_next = (
+                frontier_next.join(F.broadcast(stop_pages), "board", "left")
+                .withColumn(
+                    "status",
+                    F.when((F.col("status") == "pending")
+                           & F.col("_stop_page").isNotNull()
+                           & (F.col("page_index") < F.col("_stop_page")),
+                           F.lit("cancelled"))
+                    .otherwise(F.col("status")))
+                .drop("_stop_page")
+            )
 
         n_admitted = admitted.groupBy("host").agg(F.count("*").alias("n_admitted"))
         politeness_next = POL.spend(politeness, n_admitted)

@@ -22,8 +22,8 @@ def canonicalize(url: Column) -> Column:
     c = F.trim(url)
     c = F.regexp_replace(c, r"#.*$", "")                       # fragment
     # lowercase scheme://host (group 1), keep the rest as-is
-    scheme_host = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+)", 1))
-    rest = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+", "")
+    scheme_host = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1))
+    rest = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "")
     scheme_host = F.regexp_replace(scheme_host, r"^(https://[^/:]+):443$", "$1")
     scheme_host = F.regexp_replace(scheme_host, r"^(http://[^/:]+):80$", "$1")
     rest = F.regexp_replace(rest, r"//+", "/")                 # dup slashes
@@ -32,7 +32,7 @@ def canonicalize(url: Column) -> Column:
 
 
 def host_of(url: Column) -> Column:
-    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?]+)", 1))
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
 
 
 def url_hash64(url: Column) -> Column:
@@ -53,7 +53,7 @@ def host_salt(host: Column, p: int = N_HASH_PARTITIONS) -> Column:
 def join_url(base: Column, href: Column) -> Column:
     """Resolve an href against the page's base URL (site-relative only,
     which is all PTT emits — crawler/article.py:445 `link = PTT_URL + href`)."""
-    origin = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+)", 1)
+    origin = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
     return F.when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), href).otherwise(
         F.concat(origin, href)
     )

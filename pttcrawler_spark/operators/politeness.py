@@ -50,7 +50,8 @@ def refill(state: DataFrame, batch_seconds: float, capacity: float) -> DataFrame
     )
 
 
-def admit_window(pending: DataFrame, state: DataFrame) -> DataFrame:
+def admit_window(pending: DataFrame, state: DataFrame,
+                 strict_barrier: bool = False) -> DataFrame:
     """Returns pending + boolean ``admit``; state must carry current tokens.
 
     rank <= floor(tokens): the bucket spends whole tokens only, fractional
@@ -70,20 +71,27 @@ def admit_window(pending: DataFrame, state: DataFrame) -> DataFrame:
         .groupBy("host").agg(F.min("_rank").alias("_first_idx"))
     )
     st = state.select("host", F.floor("tokens").alias("_budget"))
+    fi = F.coalesce(F.col("_first_idx"), F.lit(1 << 62))
+    # strict barrier (start-date early-stop mode): the next index page may
+    # NOT ride in the same batch as the preceding page's articles — its
+    # fetch must wait until the date-filter verdict on those articles is in
+    # (crawler/article.py:486-503 stops BEFORE fetching the next index page)
+    barrier = F.when(F.lit(strict_barrier) & (fi > 1), fi - 1).otherwise(fi)
     return (
         ranked.join(F.broadcast(st), "host", "left")
         .join(F.broadcast(first_idx), "host", "left")
         .withColumn(
             "admit",
             (F.col("_rank") <= F.coalesce(F.col("_budget"), F.lit(0)))
-            & (F.col("_rank") <= F.coalesce(F.col("_first_idx"), F.lit(1 << 62))),
+            & (F.col("_rank") <= barrier),
         )
         .drop("_rank", "_budget", "_first_idx")
     )
 
 
 def admit_apply_in_pandas(pending: DataFrame, state: DataFrame,
-                          robots: dict[str, list[str]] | None = None) -> DataFrame:
+                          robots: dict[str, list[str]] | None = None,
+                          strict_barrier: bool = False) -> DataFrame:
     """North-rule shape: groupBy(host).applyInPandas token bucket.
 
     robots: host → list of disallowed path prefixes; disallowed rows get
@@ -122,6 +130,8 @@ def admit_apply_in_pandas(pending: DataFrame, state: DataFrame,
             if blocked[i]:
                 continue
             if spent < budget:
+                if strict_barrier and pdf["kind"][i] != "article" and spent > 0:
+                    break  # strict: next index waits for the date verdict
                 admit[i] = True
                 spent += 1
                 if pdf["kind"][i] != "article":
