@@ -189,11 +189,18 @@ def _init_politeness(hosts: DataFrame, cfg: CrawlConfig) -> DataFrame:
     )
 
 
-def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
+def crawl(spark: SparkSession, corpus: DataFrame | None,
+          seeds: list[tuple[str, str]],
           out_dir: str, cfg: CrawlConfig | None = None,
-          resume: bool = False) -> CrawlResult:
+          resume: bool = False, fetcher=None) -> CrawlResult:
+    """``corpus``: simulated-fetch page table (tests/benches), or None when
+    ``fetcher`` is given — a callable admitted-DataFrame → fetched-DataFrame
+    (same rows + _html/payload columns), e.g. sources.http_fetch.fetcher_for
+    for a REAL network fetch stage."""
     cfg = cfg or CrawlConfig()
-    pages = corpus.select(
+    if corpus is None and fetcher is None:
+        raise ValueError("need a corpus or a fetcher")
+    pages = None if corpus is None else corpus.select(
         "url", F.col("html").alias("_html"), "image_bytes", "w", "h", "fmt",
         "caption", "phash",
     )
@@ -244,30 +251,23 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
             blocked = None
 
         admitted = marked.where(F.col("admit")).drop("admit")
-        # simulated fetch: URL → page body (a real deployment swaps this for
-        # an HTTP applyInPandas stage; everything downstream is identical).
-        # The admitted set (bounded by the politeness budget) is broadcast
-        # into the corpus scan, so the multi-GB corpus is never shuffled —
-        # the plan is a single pass over the corpus with a runtime filter,
-        # not a sort-merge join that spills both sides every batch.
-        matched = pages.join(F.broadcast(admitted), "url")
-        missing = admitted.join(pages.select("url"), "url", "left_anti")
-        for c, typ in [("_html", "string"), ("image_bytes", "binary"),
-                       ("w", "int"), ("h", "int"), ("fmt", "string"),
-                       ("caption", "string"), ("phash", "long")]:
-            missing = missing.withColumn(c, F.lit(None).cast(typ))
-        fetched = matched.unionByName(missing).persist()
-        # the only control-flow action of the batch (per-kind fetched/failed
-        # counts, used for stats AND to materialize the persist) runs in a
-        # background thread, OVERLAPPED with planning + the commit's parallel
-        # write jobs — a budget-exhausted batch degenerates to a no-op refill
-        # commit, so no special-casing on the counts is needed
-        count_pool = ThreadPoolExecutor(max_workers=1)
-        kind_fut = count_pool.submit(
-            lambda: fetched.groupBy("kind")
-            .agg(F.count("*").alias("cnt"),
-                 F.sum(F.when(F.col("_html").isNull(), 1).otherwise(0)).alias("n_fail"))
-            .collect())
+        if fetcher is not None:
+            # real fetch stage (e.g. HTTP mapInPandas, sources/http_fetch):
+            # network I/O happens on executors, politeness already bounded
+            # the per-host batch upstream
+            fetched = fetcher(admitted).persist()
+        else:
+            # simulated fetch: URL → page body. The admitted set (bounded by
+            # the politeness budget) is broadcast into the corpus scan, so
+            # the multi-GB corpus is never shuffled — a single pass with a
+            # runtime filter, not a sort-merge join spilling both sides.
+            matched = pages.join(F.broadcast(admitted), "url")
+            missing = admitted.join(pages.select("url"), "url", "left_anti")
+            for c, typ in [("_html", "string"), ("image_bytes", "binary"),
+                           ("w", "int"), ("h", "int"), ("fmt", "string"),
+                           ("caption", "string"), ("phash", "long")]:
+                missing = missing.withColumn(c, F.lit(None).cast(typ))
+            fetched = matched.unionByName(missing).persist()
         ph.mark("admit+fetch(lazy)")
 
         ok = fetched.where(F.col("_html").isNotNull())
@@ -449,6 +449,18 @@ def crawl(spark: SparkSession, corpus: DataFrame, seeds: list[tuple[str, str]],
             bloom.save(out_dir, batch_id)
 
         ph.mark("plan frontier/politeness/metrics")
+        # the batch's only control-flow action (per-kind counts, also
+        # materializes the persist) overlaps the commit's parallel writes;
+        # submitted HERE, after planning, so the collect never contends with
+        # driver-side plan building (measured: a concurrently-running collect
+        # inflates the py4j-heavy plan phase 0.7 s → 3-5 s). A
+        # budget-exhausted batch degenerates to a no-op refill commit.
+        count_pool = ThreadPoolExecutor(max_workers=1)
+        kind_fut = count_pool.submit(
+            lambda: fetched.groupBy("kind")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum(F.when(F.col("_html").isNull(), 1).otherwise(0)).alias("n_fail"))
+            .collect())
         ST.commit_batch(out_dir, batch_id, frontier_next, politeness_next, metrics,
                         tables=tables)
         ph.mark("commit_batch(parallel writes)")

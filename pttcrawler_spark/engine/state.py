@@ -16,6 +16,7 @@ frontier rewrite-per-batch here becomes a merge-on-read delta there.
 from __future__ import annotations
 
 import json
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -84,12 +85,18 @@ def commit_batch(out_dir: str, batch_id: int, frontier: DataFrame,
     for name, df in (tables or {}).items():
         jobs.append((str(Path(out_dir) / TABLES / name / f"batch={batch_id}"), df, False))
 
+    debug = os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
+
     def _write(item: tuple[str, DataFrame, bool]) -> None:
         path, df, is_state = item
+        t0 = time.perf_counter()
         if is_state:
             _sized(df).write.mode("overwrite").parquet(path)
         else:
             df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+        if debug:
+            print(f"        [write] {Path(path).name if 'batch=' not in Path(path).name else Path(path).parent.name}: "
+                  f"{time.perf_counter() - t0:.2f}s", flush=True)
 
     with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
         list(ex.map(_write, jobs))  # list() re-raises the first failure
