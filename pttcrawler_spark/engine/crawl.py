@@ -109,8 +109,9 @@ class CrawlResult:
     def frontier(self) -> DataFrame:
         return ST.load_snapshot(self.spark, self.out_dir).frontier
 
-    def table(self, name: str) -> DataFrame | None:
-        return ST.read_table(self.spark, self.out_dir, name, max_batch=self.final_batch)
+    def table(self, name: str, with_batch: bool = False) -> DataFrame | None:
+        return ST.read_table(self.spark, self.out_dir, name,
+                             max_batch=self.final_batch, with_batch=with_batch)
 
     def metrics(self) -> DataFrame | None:
         return ST.read_metrics(self.spark, self.out_dir)

@@ -140,7 +140,11 @@ def write_table_batch(df: DataFrame, out_dir: str, name: str, batch_id: int) -> 
 
 
 def read_table(spark: SparkSession, out_dir: str, name: str,
-               max_batch: int | None = None) -> DataFrame | None:
+               max_batch: int | None = None,
+               with_batch: bool = False) -> DataFrame | None:
+    """Union of the per-batch output dirs. ``with_batch=True`` reads via
+    basePath so the ``batch=N`` directory becomes a ``batch`` column —
+    version ORDER AS DATA for SCD-2 consumers (engine/store.py)."""
     base = Path(out_dir) / TABLES / name
     if not base.exists():
         return None
@@ -149,6 +153,9 @@ def read_table(spark: SparkSession, out_dir: str, name: str,
         dirs = [p for p in dirs if int(p.name.split("=")[1]) <= max_batch]
     if not dirs:
         return None
+    if with_batch:
+        return (spark.read.option("basePath", str(base))
+                .parquet(*[str(p) for p in dirs]))
     return spark.read.parquet(*[str(p) for p in dirs])
 
 

@@ -48,11 +48,23 @@ def logical_ts_col(seq: F.Column) -> F.Column:
     return F.lit(BASE_TS).cast("timestamp") + F.make_interval(secs=seq.cast("double"))
 
 
-def build_relational(result: CrawlResult) -> dict[str, DataFrame]:
-    """Crawl outputs → the reference's seven tables, ids in encounter order."""
+def build_relational(result: CrawlResult,
+                     version_rotate: int = 30) -> dict[str, DataFrame]:
+    """Crawl outputs → the reference's seven tables, ids in encounter order.
+
+    SCD-2 versions: under --upgrade recrawl (mark_for_recrawl) the same
+    web_id appears once per fetch in parsed_articles; version order is the
+    output batch (order as DATA via the batch partition column). The newest
+    ``version_rotate`` versions are kept (crawler/article.py:256-259,
+    VersionRotate=30); dropped histories cascade their pushes
+    (db_migration 6794412e2720 ON DELETE CASCADE). Closed versions get
+    end_at = next version's start_at (crawler/article.py:196-207).
+    Exact reference id parity holds for add-mode crawls; after recrawls ids
+    remain deterministic but reflect the refetch order (the frontier keeps
+    the last fetch's batch)."""
     ev = fetch_events(result).select("url", "kind", "board", "board_rank", "fetch_seq")
-    parsed = result.table("parsed_articles")
-    pushes_raw = result.table("parsed_pushes")
+    parsed = result.table("parsed_articles", with_batch=True)
+    pushes_raw = result.table("parsed_pushes", with_batch=True)
     aidx = result.table("article_index")
 
     # board: get_or_create at crawl start, seed order (crawler/article.py:417)
@@ -70,7 +82,10 @@ def build_relational(result: CrawlResult) -> dict[str, DataFrame]:
                                      r"\.html", ""))
         .select("web_id", "fetch_seq")
     )
-    arts = parsed.join(art_ev, "web_id")
+    w_ver = Window.partitionBy("web_id").orderBy(F.col("batch").asc())
+    versions = parsed.withColumn("version", F.row_number().over(w_ver).cast("int"))
+    arts = (versions.where(F.col("version") == 1).drop("version", "batch")
+            .join(art_ev, "web_id"))
 
     w_fetch = Window.orderBy("fetch_seq")
     arts = arts.withColumn("article_id", F.row_number().over(w_fetch).cast("int"))
@@ -105,28 +120,47 @@ def build_relational(result: CrawlResult) -> dict[str, DataFrame]:
                 "post_datetime", "post_ip")
     )
 
-    # one history per article in add mode; id = article encounter order,
-    # start_at/end_at = logical clock at fetch (crawler/article.py:200-207)
-    article_history = arts.select(
-        F.col("article_id").alias("id"),
-        F.col("article_id").alias("article_id"),
-        "title", "content",
-        logical_ts_col(F.col("fetch_seq")).alias("start_at"),
-        logical_ts_col(F.col("fetch_seq")).alias("end_at"),
+    # SCD-2 histories: one row per kept version; id = encounter order
+    # (fetch order, then version); rotation keeps the NEWEST version_rotate
+    # versions per article (W5); end_at of a closed version = start_at of
+    # its successor (crawler/article.py:196-207)
+    hist_src = versions.join(
+        arts.select("web_id", "article_id", "fetch_seq"), "web_id")
+    w_rot = Window.partitionBy("article_id").orderBy(F.col("version").desc())
+    hist_src = (hist_src.withColumn("_newest_rank", F.row_number().over(w_rot))
+                .where(F.col("_newest_rank") <= version_rotate)
+                .drop("_newest_rank"))
+    start_at = logical_ts_col(F.col("fetch_seq") + (F.col("version") - 1))
+    w_next = Window.partitionBy("article_id").orderBy("version")
+    hist_src = (hist_src.withColumn("start_at", start_at)
+                .withColumn("end_at", F.coalesce(F.lead("start_at").over(w_next),
+                                                 F.col("start_at"))))
+    w_hid = Window.orderBy("fetch_seq", "version")
+    article_history = (
+        hist_src.withColumn("id", F.row_number().over(w_hid).cast("int"))
+        .select("id", "article_id", "title", "content", "start_at", "end_at",
+                "web_id", "batch")
     )
 
+    # pushes attach to the history VERSION fetched in their batch; pushes of
+    # rotation-dropped histories cascade away (inner join on kept histories)
+    hist_key = article_history.select(
+        F.col("id").alias("article_history_id"), "web_id", "batch",
+        F.col("article_id").alias("_aid"))
     push = (
-        pushes_raw.join(arts.select("web_id", "article_id", "fetch_seq"), "web_id")
+        pushes_raw.join(hist_key, ["web_id", "batch"])
+        .join(arts.select("web_id", "fetch_seq"), "web_id")
         .join(user.select(F.col("username").alias("push_username_key"),
                           F.col("id").alias("push_user_id")),
               F.coalesce(F.col("push_username"), F.lit("")) == F.col("push_username_key"),
               "left")
         .withColumn("id", F.row_number().over(
-            Window.orderBy("fetch_seq", "floor")).cast("int"))
-        .select("id", F.col("article_id").alias("article_history_id"), "floor",
+            Window.orderBy("article_history_id", "floor")).cast("int"))
+        .select("id", "article_history_id", "floor",
                 "push_tag", "push_user_id", "push_content", "push_ip",
                 "push_datetime")
     )
+    article_history = article_history.drop("web_id", "batch")
 
     # ip_asn rows created empty at crawl time (crawler/article.py:184-195,
     # 236-247): article ip if non-null, push ip if truthy ('' excluded)
@@ -203,3 +237,71 @@ def enrich_ip_asn(ip_asn: DataFrame) -> DataFrame:
               "asn_country_code string, asn_description string, asn_raw string, "
               "asn_date timestamp")
     return ip_asn.select("ip").mapInPandas(enrich, schema=schema)
+
+
+DOC_DATE_FMT = "EEE MMM dd HH:mm:ss yyyy"  # '%a %b %d %H:%M:%S %Y' analog
+
+
+def article_documents(result: CrawlResult) -> DataFrame:
+    """S9: the reference's nested per-article JSON document
+    (crawler/article.py:371-382) — board, article_id (=web_id),
+    article_title, author (raw 'user (nick)'), date, content, ip,
+    message_count struct, messages array (floor order). Write with
+    ``df.write.json`` for the per-page JSON sink analog
+    (crawler/article.py:91-100)."""
+    parsed = result.table("parsed_articles")
+    pushes = result.table("parsed_pushes")
+
+    tag = F.col("m.push_tag")
+    msgs = (
+        pushes.groupBy("web_id").agg(
+            F.array_sort(F.collect_list(F.struct(
+                "floor", "push_tag", "push_username", "push_content",
+                "push_ipdatetime"))).alias("_m"))
+        .select(
+            "web_id",
+            F.transform("_m", lambda m: F.struct(
+                m.push_tag.alias("push_tag"),
+                m.push_username.alias("push_userid"),
+                m.push_content.alias("push_content"),
+                m.push_ipdatetime.alias("push_ipdatetime"))).alias("messages"),
+            F.aggregate(
+                "_m", F.struct(F.lit(0).alias("push"), F.lit(0).alias("boo"),
+                               F.lit(0).alias("neutral")),
+                lambda acc, m: F.struct(
+                    (acc.push + F.when(m.push_tag == "推", 1).otherwise(0)).alias("push"),
+                    (acc.boo + F.when(m.push_tag == "噓", 1).otherwise(0)).alias("boo"),
+                    (acc.neutral + F.when(~m.push_tag.isin("推", "噓"), 1)
+                     .otherwise(0)).alias("neutral"))).alias("_c"),
+        )
+    )
+    _ = tag
+    author_raw = F.when(
+        F.col("author_nickname").isNotNull(),
+        F.concat(F.col("author_username"), F.lit(" ("),
+                 F.col("author_nickname"), F.lit(")"))
+    ).otherwise(F.col("author_username"))
+    return (
+        parsed.join(msgs, "web_id", "left")
+        .select(
+            F.col("board"),
+            F.col("web_id").alias("article_id"),
+            F.col("title").alias("article_title"),
+            author_raw.alias("author"),
+            F.coalesce(F.date_format("post_datetime", DOC_DATE_FMT), F.lit(""))
+            .alias("date"),
+            "content",
+            F.col("post_ip").alias("ip"),
+            F.struct(
+                (F.coalesce(F.col("_c.push"), F.lit(0))
+                 + F.coalesce(F.col("_c.boo"), F.lit(0))
+                 + F.coalesce(F.col("_c.neutral"), F.lit(0))).alias("all"),
+                (F.coalesce(F.col("_c.push"), F.lit(0))
+                 - F.coalesce(F.col("_c.boo"), F.lit(0))).alias("count"),
+                F.coalesce(F.col("_c.push"), F.lit(0)).alias("push"),
+                F.coalesce(F.col("_c.boo"), F.lit(0)).alias("boo"),
+                F.coalesce(F.col("_c.neutral"), F.lit(0)).alias("neutral"),
+            ).alias("message_count"),
+            F.coalesce("messages", F.array()).alias("messages"),
+        )
+    )

@@ -264,6 +264,7 @@ def parse_pushes(fetched: DataFrame) -> DataFrame:
         f["push_tag"].alias("push_tag"),
         f["push_username"].alias("push_username"),
         f["push_content"].alias("push_content"),
+        f["push_ipdatetime"].alias("push_ipdatetime"),  # raw, for the S9 doc
         push_ip(f["push_ipdatetime"]).alias("push_ip"),
         push_datetime(f["push_ipdatetime"]).alias("push_datetime"),
     )

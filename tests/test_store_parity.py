@@ -84,3 +84,49 @@ def test_asn_enrichment_deterministic(crawled, spark):
         assert (row["asn_country_code"] == exp["asn_country_code"]) or (
             pd.isna(row["asn_country_code"]) and exp["asn_country_code"] is None)
     assert enriched["asn_country_code"].dropna().isin(["TW", "US", "JP"]).all()
+
+
+def test_article_documents_match_oracle(spark, crawled, oracle, corpus_pdf, site_cfg):
+    """S9: the nested JSON document (crawler/article.py:371-382) field-for-
+    field against the oracle parser's dicts, messages in page order."""
+    from pttcrawler_spark.engine.store import article_documents
+    from pttcrawler_spark.oracle import parse as OP
+
+    docs = article_documents(crawled).toPandas().set_index("article_id")
+    # oracle documents straight from the reference-faithful parser
+    arts = corpus_pdf[corpus_pdf.kind == "article"]
+    n_checked = 0
+    for r in arts.itertuples(index=False):
+        rec = OP.parse_article(r.html, r.web_id, r.board)
+        if rec.get("error"):
+            assert r.web_id not in docs.index
+            continue
+        d = docs.loc[r.web_id]
+        assert d["article_title"] == rec["article_title"]
+        assert d["content"] == rec["content"]
+        assert (d["ip"] or None) == rec["ip"]
+        mc = d["message_count"]
+        assert mc["all"] == rec["message_count"]["all"]
+        assert mc["count"] == rec["message_count"]["count"]
+        assert mc["push"] == rec["message_count"]["push"]
+        msgs = list(d["messages"])
+        assert len(msgs) == len(rec["messages"])
+        for got, exp in zip(msgs, rec["messages"]):
+            assert got["push_tag"] == exp["push_tag"]
+            assert got["push_userid"] == exp["push_userid"]
+            assert got["push_content"] == exp["push_content"]
+            assert got["push_ipdatetime"] == exp["push_ipdatetime"]
+        n_checked += 1
+    assert n_checked > 0
+
+    # json sink round-trip (crawler/article.py:91-100 analog)
+    import shutil
+    import tempfile
+    out = tempfile.mkdtemp(prefix="docs_json_")
+    try:
+        article_documents(crawled).coalesce(1).write.mode("overwrite").json(out + "/docs")
+        back = spark.read.json(out + "/docs")
+        assert back.count() == len(docs)
+        assert "message_count" in back.columns and "messages" in back.columns
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -69,6 +69,51 @@ def test_mark_for_recrawl_refetches(spark, small):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_scd2_versions_and_rotation(spark, small):
+    """After an --upgrade recrawl, build_relational emits one history row
+    per version: closed versions end where the next starts
+    (crawler/article.py:196-207); rotation keeps the newest K
+    (crawler/article.py:256-259) and cascades pushes (6794412e2720)."""
+    from pttcrawler_spark.engine import store as S
+    cfg, pdf, corpus = small
+    out = tempfile.mkdtemp(prefix="crawl_scd2_")
+    try:
+        res = _crawl(spark, corpus, cfg, out)
+        arts = (res.frontier().where("kind = 'article' AND status = 'fetched'")
+                .select("url").limit(2).toPandas().url.tolist())
+        C.mark_for_recrawl(spark, out, arts)
+        res2 = _crawl(spark, corpus, cfg, out, resume=True)
+
+        t = S.build_relational(res2)
+        n_articles = t["article"].count()
+        hist = t["article_history"].toPandas()
+        assert len(hist) == n_articles + 2
+        multi = hist.groupby("article_id").size()
+        assert (multi == 2).sum() == 2 and (multi == 1).sum() == n_articles - 2
+        # closed version ends where the successor starts; open version
+        # has end_at == start_at
+        for aid, grp in hist.groupby("article_id"):
+            g = grp.sort_values("start_at")
+            assert (g.iloc[-1].end_at == g.iloc[-1].start_at)
+            for i in range(len(g) - 1):
+                assert g.iloc[i].end_at == g.iloc[i + 1].start_at
+        # pushes reference only existing histories, duplicated per version
+        push = t["push"].toPandas()
+        assert set(push.article_history_id) <= set(hist.id)
+
+        # rotation: keep only the newest version per article
+        t1 = S.build_relational(res2, version_rotate=1)
+        h1 = t1["article_history"].toPandas()
+        assert len(h1) == n_articles
+        assert (h1.end_at == h1.start_at).all()
+        # cascaded pushes: none reference a dropped history
+        p1 = t1["push"].toPandas()
+        assert set(p1.article_history_id) <= set(h1.id)
+        assert len(p1) <= len(push)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_purge_with_cuckoo_allows_rediscovery(spark, small):
     cfg, pdf, corpus = small
     out = tempfile.mkdtemp(prefix="crawl_purge_")
