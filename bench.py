@@ -167,6 +167,10 @@ def scaling_bench(spark, levels=SCALING_LEVELS) -> dict:
     corpus_path = os.path.join(tmp, "corpus")
     try:
         prepare_corpus(spark, SITE_SCALING, corpus_path)
+        # the parent's idle 32-thread JVM must not coexist with the measured
+        # workers (it GCs, holds memory, and skews every level low —
+        # measured ~30% slower sustained with it alive)
+        spark.stop()
         out: dict = {"site": SITE_SCALING}
         for cores in levels:
             r = _run_worker(cores, SITE_SCALING, corpus_path)

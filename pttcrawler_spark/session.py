@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # iterative micro-batch loops create a broadcast + shuffle per batch;
+        # the ContextCleaner only reclaims them after a JVM GC and its
+        # periodic GC defaults to 30 MINUTES — far longer than a whole run.
+        # 30s keeps stale broadcast/shuffle blocks from accumulating
+        # (observed: identical steady batches ramping 14s → 23s without this)
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
