@@ -59,14 +59,14 @@ def flagship_tw_report(spark, sf_dir):
 
 FLAGSHIP_SQL = """
 SELECT 'Article' AS report_type,
-       sum(CASE WHEN n_name = 'NATION_19' THEN 1 ELSE 0 END) AS tw_count,
-       sum(CASE WHEN n_name <> 'NATION_19' THEN 1 ELSE 0 END) AS not_tw_count
+       CAST(sum(CASE WHEN n_name = 'NATION_19' THEN 1 ELSE 0 END) AS BIGINT) AS tw_count,
+       CAST(sum(CASE WHEN n_name <> 'NATION_19' THEN 1 ELSE 0 END) AS BIGINT) AS not_tw_count
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 UNION ALL
 SELECT 'Push' AS report_type,
-       sum(CASE WHEN n_name = 'NATION_19' THEN 1 ELSE 0 END) AS tw_count,
-       sum(CASE WHEN n_name <> 'NATION_19' THEN 1 ELSE 0 END) AS not_tw_count
+       CAST(sum(CASE WHEN n_name = 'NATION_19' THEN 1 ELSE 0 END) AS BIGINT) AS tw_count,
+       CAST(sum(CASE WHEN n_name <> 'NATION_19' THEN 1 ELSE 0 END) AS BIGINT) AS not_tw_count
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               JOIN nation ON s_nationkey = n_nationkey
 """
@@ -738,9 +738,9 @@ ORACLE_SQL: dict[str, str] = {
     "a3_push_tally": """
         SELECT l_orderkey, p, b, n, p - b AS cnt, p + b + n AS all_cnt FROM (
           SELECT l_orderkey,
-                 sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p,
-                 sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS b,
-                 sum(CASE WHEN l_returnflag NOT IN ('R','A') THEN 1 ELSE 0 END) AS n
+                 CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                 CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN l_returnflag NOT IN ('R','A') THEN 1 ELSE 0 END) AS BIGINT) AS n
           FROM lineitem GROUP BY l_orderkey)""",
     "a5_latest_per_group": """
         SELECT o_custkey, max(o_orderkey) AS latest_key FROM orders GROUP BY o_custkey""",
@@ -987,8 +987,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY 1, 2""",
     "stream_sessionize": """
         SELECT user_id, event_id,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM (SELECT user_id, event_id, ts,
                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                IS NULL
@@ -997,7 +997,8 @@ ORACLE_SQL: dict[str, str] = {
                           THEN 1 ELSE 0 END AS new_sess
               FROM events)""",
     "events_json_extract": """
-        SELECT event_type, sum(cast(json_extract_string(props, '$.k') AS int)) AS k_sum,
+        SELECT event_type,
+               CAST(sum(cast(json_extract_string(props, '$.k') AS int)) AS BIGINT) AS k_sum,
                count(*) AS n
         FROM events GROUP BY event_type""",
 }

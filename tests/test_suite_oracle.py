@@ -44,6 +44,17 @@ def test_query_matches_oracle(name, spark, con):
         f"{name}: cols {sorted(got.columns)} vs {sorted(exp.columns)}")
     assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
 
+    # The driver's value-hash is representation-sensitive: DuckDB HUGEINT
+    # (un-cast sum(int)) lands in pandas as float64/object while Spark's sum
+    # is int64 — values "equal" but hashes differ (round-1 lesson). Guard by
+    # requiring the same dtype *kind* per column (int vs float vs object);
+    # width differences (int32 vs int64) are fine.
+    for c in sorted(got.columns):
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        assert gk == ek, (
+            f"{name}.{c}: dtype-kind {got[c].dtype} (spark) vs "
+            f"{exp[c].dtype} (oracle) — un-cast HUGEINT sum? CAST AS BIGINT")
+
     g, e = _canon(got), _canon(exp)
     for c in g.columns:
         gv, ev = g[c].tolist(), e[c].tolist()
