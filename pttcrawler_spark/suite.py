@@ -1001,6 +1001,16 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(cast(json_extract_string(props, '$.k') AS int)) AS BIGINT) AS k_sum,
                count(*) AS n
         FROM events GROUP BY event_type""",
+    # Oracle side-table: 40-row parquet of (image_id, phash64) computed
+    # driver-side with pure numpy (tests/fixtures/gen_img_phash40.py) — the
+    # independent twin of the distributed decode→phash mapInPandas path.
+    "img_phash_dedup": """
+        WITH ph AS (SELECT image_id, phash64
+                    FROM '/root/repo/tests/fixtures/img_phash40.parquet'),
+        ids AS (SELECT cast(doc_id % 40 AS varchar) AS image_id FROM documents)
+        SELECT phash64, count(*) AS n_copies
+        FROM ids JOIN ph USING (image_id)
+        GROUP BY phash64 HAVING count(*) >= 2""",
 }
 
 
@@ -1056,7 +1066,8 @@ def queries():
         "stream_tumbling_agg": stream_tumbling_agg,
         "stream_sessionize": stream_sessionize,
         "events_json_extract": events_json_extract,
-        # rows-only (custom codec — no SQL oracle; tests/test_image_ops.py)
+        # img_phash_dedup is oracle-backed via a driver-side fixture table;
+        # decode_stats/resize stay rows-only (tests/test_image_ops.py goldens)
         "img_decode_stats": img_decode_stats,
         "img_resize_thumb": img_resize_thumb,
         "img_phash_dedup": img_phash_dedup,
