@@ -50,6 +50,13 @@ def _s(col) -> F.Column:
     return F.coalesce(F.col(col).cast("string"), F.lit(""))
 
 
+def _sz(col) -> F.Column:
+    """`x or ''` for NUMERIC cells: the reference's `or` treats 0 as falsy
+    (export.py: `user.login_times or ''`), so 0 renders as '' too."""
+    c = F.col(col)
+    return F.when(c.isNull() | (c == 0), F.lit("")).otherwise(c.cast("string"))
+
+
 def _ts(col) -> F.Column:
     # str(datetime) → 'YYYY-MM-DD HH:MM:SS'; None → ''
     return F.coalesce(F.date_format(col, "yyyy-MM-dd HH:mm:ss"), F.lit(""))
@@ -158,8 +165,8 @@ def user_sheet(t: dict[str, DataFrame]) -> DataFrame:
         has = F.col("last_login_datetime").isNotNull()
         out = df.select(
             F.when(has, _s("username")).otherwise(F.lit("")).alias(USER_HEADER[0]),
-            F.when(has, _s("login_times")).otherwise(F.lit("")).alias(USER_HEADER[1]),
-            F.when(has, _s("valid_article_count")).otherwise(F.lit("")).alias(USER_HEADER[2]),
+            F.when(has, _sz("login_times")).otherwise(F.lit("")).alias(USER_HEADER[1]),
+            F.when(has, _sz("valid_article_count")).otherwise(F.lit("")).alias(USER_HEADER[2]),
             F.when(has, _ts("last_login_datetime")).otherwise(F.lit("")).alias(USER_HEADER[3]),
             F.when(has, _s("last_login_ip")).otherwise(F.lit("")).alias(USER_HEADER[4]),
             F.when(has, _s("asn")).otherwise(F.lit("")).alias(USER_HEADER[5]),

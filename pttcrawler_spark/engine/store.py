@@ -9,11 +9,13 @@ fetch order is reconstructed AS DATA from the frontier
 row_number over it — so exports byte-compare with the single-threaded oracle
 (SURVEY.md §7.0.2).
 
-Scale note: the global row_number windows here are single-partition sorts —
-the price of exact reference id parity, paid once at export time over id
-columns only (narrow rows). Engines that don't need byte-identical exports
-can zipWithIndex per commit batch instead; both forms are O(n log n) sorts,
-and the sorted data is the final output anyway.
+Scale note: every global encounter-order id here goes through
+``operators.seq.with_global_seq`` — range-partitioned rank + per-partition
+prefix-sum offsets (the zipWithIndex pattern) — NOT a single-partition
+``row_number() OVER (ORDER BY ...)``. Same deterministic numbering, no
+single-partition Exchange on the data path (tests/test_plan_quality.py
+asserts this). Wide frames (history rows with content) get their seq on a
+narrow key projection and join it back.
 
 history start_at/end_at use the oracle's logical clock
 (BASE_TS + fetch_seq seconds) replacing the reference's datetime.now().
@@ -24,24 +26,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.seq import with_global_seq
 from ..oracle.simulator import BASE_TS
 from .crawl import CrawlResult
-
-
-def _fetch_order_window() -> Window:
-    return Window.orderBy(
-        F.col("board_rank").asc(), F.col("batch_id").asc(),
-        F.col("priority").desc(), F.col("discovery_seq").asc(), F.col("url").asc())
 
 
 def fetch_events(result: CrawlResult) -> DataFrame:
     """All fetched frontier rows with their global fetch_seq (oracle parity:
     boards sequentially, within board the per-host order)."""
-    return (
-        result.frontier()
-        .where(F.col("status") == "fetched")
-        .withColumn("fetch_seq", F.row_number().over(_fetch_order_window()))
-    )
+    fetched = result.frontier().where(F.col("status") == "fetched")
+    return with_global_seq(
+        fetched,
+        [F.col("board_rank").asc(), F.col("batch_id").asc(),
+         F.col("priority").desc(), F.col("discovery_seq").asc(),
+         F.col("url").asc()],
+        "fetch_seq")
 
 
 def logical_ts_col(seq: F.Column) -> F.Column:
@@ -86,9 +85,14 @@ def build_relational(result: CrawlResult,
     versions = parsed.withColumn("version", F.row_number().over(w_ver).cast("int"))
     arts = (versions.where(F.col("version") == 1).drop("version", "batch")
             .join(art_ev, "web_id"))
-
-    w_fetch = Window.orderBy("fetch_seq")
-    arts = arts.withColumn("article_id", F.row_number().over(w_fetch).cast("int"))
+    # article_id = DENSE rank in fetch order over parse-OK articles only
+    # (parse errors / date-dropped pages are fetched events with no parsed
+    # row — they must not leave id gaps). Seq on the narrow (web_id,
+    # fetch_seq) projection; column pruning keeps the range shuffle narrow.
+    aid = with_global_seq(arts.select("web_id", "fetch_seq"),
+                          ["fetch_seq"], "_aseq")
+    arts = arts.join(aid.select("web_id", F.col("_aseq").cast("int")
+                                .alias("article_id")), "web_id")
 
     # user: first-encounter order — author at (fetch_seq, 0), push user at
     # (fetch_seq, floor) (crawler/article.py:159-167, 210-231)
@@ -104,9 +108,11 @@ def build_relational(result: CrawlResult,
         author_ev.unionByName(push_ev)
         .groupBy("username")
         .agg(F.min(F.struct("fetch_seq", "pos")).alias("first_ev"))
-        .withColumn("id", F.row_number().over(
-            Window.orderBy("first_ev.fetch_seq", "first_ev.pos")).cast("int"))
-        .select("id", "username",
+    )
+    user = (
+        with_global_seq(user, [F.col("first_ev.fetch_seq"),
+                               F.col("first_ev.pos")], "_useq")
+        .select(F.col("_useq").cast("int").alias("id"), "username",
                 F.lit(0).alias("login_times"),
                 F.lit(0).alias("valid_article_count"))
     )
@@ -135,9 +141,15 @@ def build_relational(result: CrawlResult,
     hist_src = (hist_src.withColumn("start_at", start_at)
                 .withColumn("end_at", F.coalesce(F.lead("start_at").over(w_next),
                                                  F.col("start_at"))))
-    w_hid = Window.orderBy("fetch_seq", "version")
+    # history id in (fetch order, version) — seq on the narrow key projection
+    # (wide content rows never enter the range shuffle), joined back
+    hid = with_global_seq(
+        hist_src.select("web_id", "version", "fetch_seq"),
+        ["fetch_seq", "version"], "_hseq")
     article_history = (
-        hist_src.withColumn("id", F.row_number().over(w_hid).cast("int"))
+        hist_src.join(hid.select("web_id", "version",
+                                 F.col("_hseq").cast("int").alias("id")),
+                      ["web_id", "version"])
         .select("id", "article_id", "title", "content", "start_at", "end_at",
                 "web_id", "batch")
     )
@@ -154,8 +166,14 @@ def build_relational(result: CrawlResult,
                           F.col("id").alias("push_user_id")),
               F.coalesce(F.col("push_username"), F.lit("")) == F.col("push_username_key"),
               "left")
-        .withColumn("id", F.row_number().over(
-            Window.orderBy("article_history_id", "floor")).cast("int"))
+    )
+    pid = with_global_seq(
+        push.select("article_history_id", "floor"),
+        ["article_history_id", "floor"], "_pseq")
+    push = (
+        push.join(pid.select("article_history_id", "floor",
+                             F.col("_pseq").cast("int").alias("id")),
+                  ["article_history_id", "floor"])
         .select("id", "article_history_id", "floor",
                 "push_tag", "push_user_id", "push_content", "push_ip",
                 "push_datetime")
@@ -239,15 +257,14 @@ def enrich_ip_asn(ip_asn: DataFrame) -> DataFrame:
     return ip_asn.select("ip").mapInPandas(enrich, schema=schema)
 
 
-DOC_DATE_FMT = "EEE MMM dd HH:mm:ss yyyy"  # '%a %b %d %H:%M:%S %Y' analog
-
-
 def article_documents(result: CrawlResult) -> DataFrame:
     """S9: the reference's nested per-article JSON document
     (crawler/article.py:371-382) — board, article_id (=web_id),
     article_title, author (raw 'user (nick)'), date, content, ip,
-    message_count struct, messages array (floor order). Write with
-    ``df.write.json`` for the per-page JSON sink analog
+    message_count struct, messages array (floor order). The date field is the
+    RAW metaline string carried through parse (post_date_raw), byte-identical
+    to the reference even for ctime-style space-padded or unparseable dates.
+    Write with ``df.write.json`` for the per-page JSON sink analog
     (crawler/article.py:91-100)."""
     parsed = result.table("parsed_articles")
     pushes = result.table("parsed_pushes")
@@ -288,8 +305,7 @@ def article_documents(result: CrawlResult) -> DataFrame:
             F.col("web_id").alias("article_id"),
             F.col("title").alias("article_title"),
             author_raw.alias("author"),
-            F.coalesce(F.date_format("post_datetime", DOC_DATE_FMT), F.lit(""))
-            .alias("date"),
+            F.coalesce("post_date_raw", F.lit("")).alias("date"),
             "content",
             F.col("post_ip").alias("ip"),
             F.struct(

@@ -14,8 +14,10 @@ user_last_record row (:171-204). Here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..operators.seq import with_global_seq
 
 # crawler/user.py:255 — kept verbatim (Java and Python agree on these
 # classes for this ASCII-digit + CJK text)
@@ -26,9 +28,12 @@ RE_DT = r"([\d]{1,2}/[\d]{1,2}/[\d]{4})\s*([\d]{1,2}:[\d]{1,2}:[\d]{1,2})"
 
 
 def fetch_queue(user: DataFrame) -> DataFrame:
-    """W6: the crawl order of the user module (login_times asc, id asc)."""
-    w = Window.orderBy(F.col("login_times").asc(), F.col("id").asc())
-    return user.withColumn("fetch_rank", F.row_number().over(w))
+    """W6: the crawl order of the user module (login_times asc, id asc) —
+    scale-safe global rank (no single-partition window)."""
+    return (with_global_seq(user, [F.col("login_times").asc(),
+                                   F.col("id").asc()], "_rank")
+            .withColumn("fetch_rank", F.col("_rank").cast("int"))
+            .drop("_rank"))
 
 
 def scrape_buffers(buffers: DataFrame) -> DataFrame:
@@ -57,15 +62,18 @@ def scrape_buffers(buffers: DataFrame) -> DataFrame:
 def apply_user_records(tables: dict[str, DataFrame], scraped: DataFrame,
                        base_record_ts=None) -> dict[str, DataFrame]:
     """MERGE the scraped records into the store (crawler/user.py:171-204):
-    existing users get login_times/valid_article_count updated; every record
-    appends a user_last_record row; non-empty ips are touched into ip_asn.
-    Returns a NEW tables dict (inputs untouched)."""
+    existing users get login_times/valid_article_count updated; usernames not
+    yet in the user table are get_or_create'd with the next ids
+    (crawler/user.py:173-178, username order for determinism); every record
+    APPENDS a user_last_record row (crawler/user.py:198-204 — a second run
+    adds rows, ids continuing after the existing max); non-empty ips are
+    touched into ip_asn. Returns a NEW tables dict (inputs untouched)."""
     user = tables["user"]
     upd = scraped.select(
         F.col("username").alias("_un"),
         F.col("login_times").alias("_lt"),
         F.col("valid_article_count").alias("_vc"))
-    user2 = (
+    updated = (
         user.join(F.broadcast(upd), user.username == F.col("_un"), "left")
         .select(
             "id", "username",
@@ -73,17 +81,45 @@ def apply_user_records(tables: dict[str, DataFrame], scraped: DataFrame,
             F.coalesce("_vc", "valid_article_count").alias("valid_article_count"),
         )
     )
-    w = Window.orderBy("user_id")
-    last_record = (
-        scraped.join(user.select(F.col("username"), F.col("id").alias("user_id")),
+    # get_or_create: scraped usernames missing from the table become new user
+    # rows with ids continuing after the current max
+    max_uid = user.agg(F.coalesce(F.max("id"), F.lit(0)).alias("_max_uid"))
+    new_users = (
+        with_global_seq(
+            scraped.join(user.select("username"), "username", "left_anti")
+            .select("username", "login_times", "valid_article_count"),
+            ["username"], "_seq")
+        .crossJoin(F.broadcast(max_uid))
+        .select((F.col("_max_uid") + F.col("_seq")).cast("int").alias("id"),
+                "username", "login_times", "valid_article_count")
+    )
+    user2 = updated.unionByName(new_users)
+
+    prior = tables.get("user_last_record")
+    base_rid = (prior.agg(F.coalesce(F.max("id"), F.lit(0)).alias("_max_rid"))
+                if prior is not None else None)
+    new_records = (
+        scraped.join(user2.select(F.col("username"), F.col("id").alias("user_id")),
                      "username")
         .select("user_id", "last_login_datetime", "last_login_ip")
         .withColumn("created_at",
                     F.coalesce(F.lit(base_record_ts).cast("timestamp"),
                                F.col("last_login_datetime")))
-        .withColumn("id", F.row_number().over(w).cast("int"))
     )
-    ips = (last_record.where(F.col("last_login_ip").isNotNull())
+    new_records = with_global_seq(new_records, ["user_id"], "_seq")
+    if base_rid is not None:
+        new_records = (new_records.crossJoin(F.broadcast(base_rid))
+                       .withColumn("id", (F.col("_max_rid") + F.col("_seq"))
+                                   .cast("int"))
+                       .drop("_seq", "_max_rid"))
+        last_record = prior.unionByName(
+            new_records.select(*prior.columns))
+    else:
+        new_records = (new_records
+                       .withColumn("id", F.col("_seq").cast("int"))
+                       .drop("_seq"))
+        last_record = new_records
+    ips = (new_records.where(F.col("last_login_ip").isNotNull())
            .select(F.col("last_login_ip").alias("ip")).distinct())
     new_ips = ips.join(tables["ip_asn"].select("ip"), "ip", "left_anti")
     asn_cols = [c for c in tables["ip_asn"].columns if c != "ip"]

@@ -236,6 +236,15 @@ def parse_articles(fetched: DataFrame) -> DataFrame:
     post_dt = F.when(has_metas,
                      post_datetime(F.coalesce(F.try_element_at(metas, F.lit(3)), F.lit("")))) \
         .otherwise(trans_datetime(html))
+    # S9 doc date: the RAW metaline string passes through verbatim
+    # (crawler/article.py:371-382 keeps self.__date, e.g. ctime-style
+    # space-padded 'Aug  4', even when unparseable); only the transcription
+    # fallback re-formats ('%a %b %d %H:%M:%S %Y', crawler/article.py:310)
+    date_raw = F.when(has_metas,
+                      F.coalesce(F.try_element_at(metas, F.lit(3)), F.lit(""))) \
+        .otherwise(F.coalesce(
+            F.date_format(trans_datetime(html), "EEE MMM dd HH:mm:ss yyyy"),
+            F.lit("")))
     return fetched.select(
         F.col("web_id"),
         F.col("board"),
@@ -246,6 +255,7 @@ def parse_articles(fetched: DataFrame) -> DataFrame:
         F.when(has_metas, F.coalesce(F.try_element_at(metas, F.lit(2)), F.lit("")))
         .otherwise(F.lit("")).alias("title"),
         post_dt.alias("post_datetime"),
+        date_raw.alias("post_date_raw"),
         post_ip(html).alias("post_ip"),
         content_cleaned(html, F.col("web_id")).alias("content"),
         parse_error(html).alias("parse_error"),

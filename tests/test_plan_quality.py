@@ -69,3 +69,63 @@ def test_minhash_lsh_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
         "BroadcastHashJoin" in plan
+
+
+def _single_partition_exchanges(plan: str) -> list[str]:
+    """Lines with a SinglePartition Exchange, excluding with_global_seq's
+    offsets prefix-sum (bounded at num_partitions rows — identified by the
+    _pid/_cnt aggregate feeding it within the next few lines)."""
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        ctx = "\n".join(lines[i:i + 4])
+        if "_pid" in ctx or "_cnt" in ctx:
+            continue
+        bad.append(ln.strip())
+    return bad
+
+
+def test_global_seq_plan_scale_safe(spark):
+    """operators/seq.with_global_seq: the numbering plan must contain a
+    parallel range partitioning and NO single-partition Exchange on the data
+    path (VERDICT r1 finding 1 — global Window.orderBy is a scale-killer)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from pttcrawler_spark.operators.seq import with_global_seq
+
+    df = spark.range(0, 50000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"),
+        F.col("id").alias("payload"))
+    out = with_global_seq(df, ["k"], "seq", barrier=False)
+    out.collect()  # final AQE plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan
+    assert _single_partition_exchanges(plan) == []
+
+
+def test_store_ids_no_global_window(spark, crawled):
+    """build_relational's id assignment: no single-partition Exchange on the
+    data path (fetch_seq / article_id / user id / history id / push id all
+    go through with_global_seq)."""
+    import contextlib
+    import io
+
+    from pttcrawler_spark.engine import store as S
+
+    tables = S.build_relational(crawled)
+    for name in ("article", "user", "article_history", "push"):
+        df = tables[name]
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert _single_partition_exchanges(plan) == [], (
+            f"{name}: {_single_partition_exchanges(plan)}")

@@ -3,16 +3,22 @@
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from pttcrawler_spark.engine import store as S
+
+
+@pytest.fixture(scope="module")
+def tables(crawled):
+    t = S.build_relational(crawled)
+    return {k: v.cache() for k, v in t.items()}
 
 
 def _norm(pdf: pd.DataFrame, key) -> pd.DataFrame:
     return pdf.sort_values(key).reset_index(drop=True)
 
 
-def test_board_user_ids_match(crawled, oracle):
-    tables = S.build_relational(crawled)
+def test_board_user_ids_match(tables, oracle):
     ora = oracle.tables()
 
     b = _norm(tables["board"].toPandas(), "id")
@@ -26,8 +32,7 @@ def test_board_user_ids_match(crawled, oracle):
     assert u["username"].tolist() == ou["username"].tolist()
 
 
-def test_article_and_history_match(crawled, oracle):
-    tables = S.build_relational(crawled)
+def test_article_and_history_match(tables, oracle):
     ora = oracle.tables()
 
     a = _norm(tables["article"].toPandas(), "id")
@@ -45,8 +50,7 @@ def test_article_and_history_match(crawled, oracle):
     assert h["end_at"].tolist() == oh["end_at"].tolist()
 
 
-def test_push_table_matches(crawled, oracle):
-    tables = S.build_relational(crawled)
+def test_push_table_matches(tables, oracle):
     ora = oracle.tables()
     p = _norm(tables["push"].toPandas(), "id")
     op = _norm(ora["push"], "id")
@@ -57,14 +61,12 @@ def test_push_table_matches(crawled, oracle):
         [x for x in op["push_datetime"]]
 
 
-def test_ip_asn_set_matches(crawled, oracle):
-    tables = S.build_relational(crawled)
+def test_ip_asn_set_matches(tables, oracle):
     ora = oracle.tables()
     assert set(tables["ip_asn"].toPandas()["ip"]) == set(ora["ip_asn"]["ip"])
 
 
-def test_article_index_matches(crawled, oracle):
-    tables = S.build_relational(crawled)
+def test_article_index_matches(tables, oracle):
     ora = oracle.tables()
     e = _norm(tables["article_index"].toPandas(), "web_id")
     o = _norm(ora["article_index"], "web_id")
@@ -73,8 +75,7 @@ def test_article_index_matches(crawled, oracle):
     assert e["board_id"].tolist() == o["board_id"].tolist()
 
 
-def test_asn_enrichment_deterministic(crawled, spark):
-    tables = S.build_relational(crawled)
+def test_asn_enrichment_deterministic(tables, spark):
     enriched = S.enrich_ip_asn(tables["ip_asn"]).toPandas()
     assert len(enriched) == tables["ip_asn"].count()
     # pure-function parity with the driver-side implementation
@@ -103,6 +104,7 @@ def test_article_documents_match_oracle(spark, crawled, oracle, corpus_pdf, site
             continue
         d = docs.loc[r.web_id]
         assert d["article_title"] == rec["article_title"]
+        assert d["date"] == rec["date"]  # RAW metaline string, byte-for-byte
         assert d["content"] == rec["content"]
         assert (d["ip"] or None) == rec["ip"]
         mc = d["message_count"]

@@ -55,7 +55,7 @@ def test_scrape_matches_python_re(spark, rel):
 def test_apply_user_records_merge(spark, rel):
     buffers = U.synth_buffers(rel["user"])
     scraped = U.scrape_buffers(buffers).cache()
-    out = U.apply_user_records(rel, scraped)
+    out = {k: v.cache() for k, v in U.apply_user_records(rel, scraped).items()}
 
     u2 = out["user"].toPandas().set_index("username")
     sc = scraped.toPandas().set_index("username")
@@ -76,3 +76,47 @@ def test_apply_user_records_merge(spark, rel):
     filled = sheet[sheet["User.last_login_ip"] != ""]
     assert len(filled) == len(sc)
     assert (filled["User.login_times"] != "").all()
+
+
+def test_apply_user_records_appends_on_second_run(spark, rel):
+    """crawler/user.py:198-204 adds a UserLastRecord per RUN — a second
+    enrichment must append rows with ids continuing after the existing max,
+    not replace the history."""
+    scraped = U.scrape_buffers(U.synth_buffers(rel["user"])).cache()
+    # between real runs the store is persisted (parquet/Iceberg); cache is
+    # the in-test analog — without it every assert re-executes run 1's graph
+    once = {k: v.cache() for k, v in U.apply_user_records(rel, scraped).items()}
+    twice = U.apply_user_records(once, scraped)
+
+    lr1 = once["user_last_record"].toPandas()
+    lr2 = twice["user_last_record"].toPandas()
+    assert len(lr2) == 2 * len(lr1)
+    assert sorted(lr2.id) == list(range(1, 2 * len(lr1) + 1))
+    # run-1 rows survive untouched
+    merged = lr2[lr2.id <= len(lr1)].sort_values("id").reset_index(drop=True)
+    assert merged["user_id"].tolist() == \
+        lr1.sort_values("id")["user_id"].tolist()
+
+
+def test_apply_user_records_creates_unknown_users(spark, rel):
+    """crawler/user.py:173-178 get_or_creates users missing from the table —
+    scraped records for unknown usernames append new user rows with next ids
+    and still land a last_record row."""
+    extra = spark.createDataFrame(
+        [("zz_newuser_1",), ("zz_newuser_2",)], "username string")
+    scraped = U.scrape_buffers(U.synth_buffers(rel["user"].select("username")
+                                               .union(extra))).cache()
+    out = {k: v.cache() for k, v in U.apply_user_records(rel, scraped).items()}
+
+    u2 = out["user"].toPandas()
+    base = rel["user"].toPandas()
+    known_sc = set(scraped.toPandas().username)
+    new_names = sorted(known_sc - set(base.username))
+    got_new = u2[~u2.username.isin(base.username)].sort_values("username")
+    assert got_new.username.tolist() == new_names
+    # ids continue after the existing max, in username order
+    assert sorted(got_new.id) == list(
+        range(base.id.max() + 1, base.id.max() + 1 + len(new_names)))
+    # new users carry their scraped counters and got a last_record row
+    lr = out["user_last_record"].toPandas()
+    assert set(got_new.id) <= set(lr.user_id)
