@@ -83,6 +83,7 @@ class CrawlConfig:
     robots: dict[str, list[str]] | None = None
     start_date: _dt.datetime | None = None  # P4 cutoff + early stop
     start_index: int = 1
+    end_index: int | None = None    # CLI --index S E upper bound (crawler_arg.py:44-46)
     max_batches: int = 10_000
     use_bloom: bool = False         # back-compat alias for seen_filter='bloom'
     seen_filter: str = ""           # '' (exact anti-join) | 'bloom' | 'cuckoo'
@@ -278,8 +279,14 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
         new_index = (
             boot.select("board", "board_rank", "url",
                         FP.last_page(F.col("_html")).alias("last"))
+            .withColumn("_hi", F.least(F.col("last"), F.lit(cfg.end_index))
+                        if cfg.end_index is not None else F.col("last"))
             .select("board", "board_rank", "url",
-                    F.explode(F.sequence(F.lit(cfg.start_index), F.col("last"))).alias("page_index"))
+                    F.explode(F.when(
+                        F.col("_hi") >= cfg.start_index,
+                        F.sequence(F.lit(cfg.start_index), F.col("_hi")))
+                        .otherwise(F.array().cast("array<int>")))
+                    .alias("page_index"))
             .select(
                 F.concat(
                     F.regexp_extract(F.col("url"), r"^(.*/)index\.html$", 1),

@@ -78,3 +78,13 @@ def tw_ip_report(t: dict[str, DataFrame], board_name: str,
         )
 
     return tally(art, "Article").unionByName(tally(push, "Push"))
+
+
+def write_report_csv(report: DataFrame, output_folder: str,
+                     export_date: datetime | None = None) -> str:
+    """query.py:137-146 csv sink: Ptt_query_{YYYY-MM-DD}.csv with the
+    6-column header row. Single small result → coalesce(1) is fine."""
+    stamp = (export_date or datetime.now()).strftime("%Y-%m-%d")
+    path = f"{output_folder}/Ptt_query_{stamp}_csv"
+    report.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    return path
