@@ -142,13 +142,13 @@ def _corpus_and_seeds(spark, args, board: str | None):
     from pyspark.sql import functions as F
     if args.corpus:
         corpus = spark.read.parquet(args.corpus)
+        # a board's bootstrap seed is its index.html (served as kind=index)
+        boot = corpus.where(F.col("url").rlike(r"/index\.html$"))
         if board:
-            seeds_rows = (corpus.where(F.col("kind") == "bootstrap")
-                          .where(F.col("board") == board)
+            seeds_rows = (boot.where(F.col("board") == board)
                           .select("board", "url").distinct().collect())
         else:
-            seeds_rows = (corpus.where(F.col("kind") == "bootstrap")
-                          .select("board", "url").distinct().collect())
+            seeds_rows = boot.select("board", "url").distinct().collect()
         seeds = [(r["board"], r["url"]) for r in seeds_rows]
         return corpus, seeds
     if args.synth:

@@ -2,15 +2,23 @@
 
 Iceberg jars aren't in this image, so we implement the same durability
 contract at the Parquet level: each micro-batch writes a snapshot directory
-``state/batch=N/{frontier,politeness,metrics}`` and commits it by writing
-``_COMMIT.json`` LAST (rename-free single-file commit — the marker either
-exists or the snapshot is invisible). Output tables are append-only
+``state/batch=N/{frontier_delta|frontier,politeness,metrics}`` and commits it
+by writing ``_COMMIT.json`` LAST (rename-free single-file commit — the marker
+either exists or the snapshot is invisible). Output tables are append-only
 per-batch directories ``tables/<name>/batch=N`` written with overwrite mode,
 so replaying a batch after a crash is idempotent. Resume = load the highest
 committed snapshot and ignore orphan (uncommitted) batch dirs.
 
-On a real cluster this maps 1:1 onto Iceberg snapshots + MERGE INTO; the
-frontier rewrite-per-batch here becomes a merge-on-read delta there.
+Frontier state is MERGE-ON-READ (the Iceberg MERGE INTO analog): a normal
+batch writes only ``frontier_delta`` — the rows whose status changed plus the
+newly discovered rows, O(batch), NOT O(|frontier|) — and readers reconstruct
+the frontier as "latest row per url across base + deltas". Periodically (and
+at every mark_for_recrawl/purge_urls, whose row deletions a delta cannot
+express) a FULL ``frontier`` compaction is written; reconstruction starts at
+the newest full dir at-or-below the committed batch. A full dir is only
+trusted when Spark's ``_SUCCESS`` marker exists, so the post-loop compaction
+(written after the batch marker for cheap reads) degrades safely to the
+delta path if interrupted mid-write.
 """
 
 from __future__ import annotations
@@ -22,7 +30,8 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 STATE = "state"
 TABLES = "tables"
@@ -50,10 +59,11 @@ def _batch_dir(out_dir: str, batch_id: int) -> Path:
     return Path(out_dir) / STATE / f"batch={batch_id}"
 
 
-def commit_batch(out_dir: str, batch_id: int, frontier: DataFrame,
+def commit_batch(out_dir: str, batch_id: int, frontier: DataFrame | None,
                  politeness: DataFrame, metrics: DataFrame | None = None,
                  tables: dict[str, DataFrame] | None = None,
-                 extra: dict | None = None) -> None:
+                 extra: dict | None = None,
+                 frontier_delta: DataFrame | None = None) -> None:
     """Write ALL of a batch's outputs (state + output tables), marker LAST.
 
     The writes are independent Spark jobs, so they are submitted from a
@@ -77,9 +87,14 @@ def commit_batch(out_dir: str, batch_id: int, frontier: DataFrame,
     # time — and use snappy: the payload bytes are already codec-compressed,
     # so heavier codecs only burn CPU on incompressible data.
     jobs: list[tuple[str, DataFrame, bool]] = [
-        (str(d / "frontier"), frontier, True),
         (str(d / "politeness"), politeness, True),
     ]
+    if frontier is not None:          # full snapshot = compaction point
+        jobs.append((str(d / "frontier"), frontier, True))
+    if frontier_delta is not None:    # merge-on-read delta, O(batch) rows
+        jobs.append((str(d / "frontier_delta"), frontier_delta, True))
+    if frontier is None and frontier_delta is None:
+        raise ValueError("commit_batch needs a frontier or a frontier_delta")
     if metrics is not None:
         jobs.append((str(d / "metrics"), metrics, True))
     for name, df in (tables or {}).items():
@@ -122,6 +137,42 @@ def latest_committed(out_dir: str) -> int | None:
     return max(ids) if ids else None
 
 
+def _has_full_frontier(out_dir: str, batch_id: int) -> bool:
+    d = _batch_dir(out_dir, batch_id) / "frontier"
+    return (d / "_SUCCESS").exists()
+
+
+def load_frontier(spark: SparkSession, out_dir: str, bid: int) -> DataFrame:
+    """Merge-on-read reconstruction: newest full ``frontier`` dir at-or-below
+    ``bid``, overlaid with the ``frontier_delta`` dirs after it — latest row
+    per url wins (delta batches are totally ordered). The per-url window
+    shuffles O(|frontier|) narrow rows once per *read*, while every *batch*
+    writes only O(changes) — the merge-on-read trade."""
+    base_id = next(
+        (b for b in range(bid, -1, -1) if _has_full_frontier(out_dir, b)), None)
+    if base_id is None:
+        raise ValueError(f"no full frontier compaction at or below batch "
+                         f"{bid} under {out_dir}")
+    base = _batch_dir(out_dir, base_id) / "frontier"
+    frontier = spark.read.parquet(str(base)).withColumn("_v", F.lit(base_id))
+    delta_dirs = [
+        (b, _batch_dir(out_dir, b) / "frontier_delta")
+        for b in range(base_id + 1, bid + 1)
+    ]
+    missing = [b for b, p in delta_dirs if not p.exists()]
+    if missing:
+        raise ValueError(
+            f"frontier reconstruction hole at batches {missing} under {out_dir}")
+    for b, p in delta_dirs:
+        frontier = frontier.unionByName(
+            spark.read.parquet(str(p)).withColumn("_v", F.lit(b)))
+    if delta_dirs:
+        w = Window.partitionBy("url").orderBy(F.col("_v").desc())
+        frontier = (frontier.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1).drop("_rn"))
+    return frontier.drop("_v")
+
+
 def load_snapshot(spark: SparkSession, out_dir: str) -> Snapshot | None:
     bid = latest_committed(out_dir)
     if bid is None:
@@ -129,9 +180,18 @@ def load_snapshot(spark: SparkSession, out_dir: str) -> Snapshot | None:
     d = _batch_dir(out_dir, bid)
     return Snapshot(
         batch_id=bid,
-        frontier=spark.read.parquet(str(d / "frontier")),
+        frontier=load_frontier(spark, out_dir, bid),
         politeness=spark.read.parquet(str(d / "politeness")),
     )
+
+
+def write_frontier_compaction(out_dir: str, batch_id: int,
+                              frontier: DataFrame) -> None:
+    """Post-loop (or periodic, out-of-band) compaction: write the full
+    frontier into an already-committed batch dir. Safe after the marker —
+    readers only trust it once Spark's _SUCCESS lands (see module doc)."""
+    _sized(frontier).write.mode("overwrite").parquet(
+        str(_batch_dir(out_dir, batch_id) / "frontier"))
 
 
 def write_table_batch(df: DataFrame, out_dir: str, name: str, batch_id: int) -> None:

@@ -39,9 +39,13 @@ def get_spark(
         # iterative micro-batch loops create a broadcast + shuffle per batch;
         # the ContextCleaner only reclaims them after a JVM GC and its
         # periodic GC defaults to 30 MINUTES — far longer than a whole run.
-        # 30s keeps stale broadcast/shuffle blocks from accumulating
-        # (observed: identical steady batches ramping 14s → 23s without this)
-        .config("spark.cleaner.periodicGC.interval", "30s")
+        # A periodic GC keeps stale broadcast/shuffle blocks from
+        # accumulating (observed: identical steady batches ramping 14s → 23s
+        # without it), but each forced full GC is a stop-the-world pause paid
+        # on every core — too FREQUENT an interval serializes the loop
+        # (SPARK_GRAFT_GC_INTERVAL overrides; see BASELINE.md scaling notes)
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_GRAFT_GC_INTERVAL", "120s"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -224,3 +224,45 @@ def test_robots_blocking(spark):
         assert (fr[fr.kind == "index"].status == "fetched").all()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_crash_resume_replays_frontier_deltas(spark, site_cfg, corpus_pdf,
+                                              crawled):
+    """A TRUE crash leaves no post-loop compaction — resume must reconstruct
+    the frontier from base + frontier_delta dirs (merge-on-read) and finish
+    bit-identically."""
+    import pathlib
+
+    from pttcrawler_spark.engine import state as ST
+
+    corpus = spark.createDataFrame(corpus_pdf)
+    out = tempfile.mkdtemp(prefix="crawl_crash_")
+    try:
+        C.crawl(spark, corpus, _seeds(site_cfg), out,
+                C.CrawlConfig(delay_s=2.0, batch_seconds=20.0, max_batches=2))
+        # simulate the crash: drop the graceful-exit compaction so only
+        # batch 0's full frontier + batch 1's delta remain
+        last = ST.latest_committed(out)
+        assert last == 1
+        comp = pathlib.Path(out) / "state" / f"batch={last}" / "frontier"
+        assert comp.exists()
+        shutil.rmtree(comp)
+        assert (pathlib.Path(out) / "state" / f"batch={last}"
+                / "frontier_delta").exists()
+
+        res2 = C.crawl(spark, corpus, _seeds(site_cfg), out,
+                       C.CrawlConfig(delay_s=2.0, batch_seconds=20.0),
+                       resume=True)
+        full = crawled
+        fa = res2.frontier().toPandas().sort_values("url").reset_index(drop=True)
+        fb = full.frontier().toPandas().sort_values("url").reset_index(drop=True)
+        assert fa[["url", "status", "kind", "batch_id"]].equals(
+            fb[["url", "status", "kind", "batch_id"]])
+        for name in ["parsed_articles", "article_index"]:
+            a = (res2.table(name).toPandas().sort_values("web_id")
+                 .reset_index(drop=True))
+            b = (full.table(name).toPandas().sort_values("web_id")
+                 .reset_index(drop=True))
+            assert a.equals(b), name
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
