@@ -16,9 +16,11 @@ Ops:
   extract" stage of a multimodal pipeline).
 - resize: nearest-neighbor resize (thumbnailing) → re-encoded bytes.
 - phash_col: perceptual hash of the DECODED pixels (dedup key).
-- frame_sample / audio_features: video/audio stubs — the container has no
-  av libs; the Spark plumbing (schema, batch shape) is real, the decode
-  raises NotImplementedError per the build contract.
+- build_videos_df / build_audio_df: deterministic av tables (synth/av codec).
+- frame_sample: video → sampled stills (one row per sampled frame).
+- audio_features: PCM → duration/RMS/peak. Both run the real mapInPandas
+  pipeline over binary columns; only the codec itself is the deterministic
+  synthetic one (no av libs in this container — synth/av.py).
 """
 
 from __future__ import annotations
@@ -135,35 +137,109 @@ def phash_col(images: DataFrame) -> DataFrame:
         run, schema="image_id string, phash64 long")
 
 
-# --- stubs: av decode paths (no libs in this container) ---------------------
+# --- av decode paths (deterministic synthetic codec, synth/av.py) -----------
+VIDEOS_DDL = ("video_id string, bytes binary, w int, h int, fps int, "
+              "n_frames int")
+AUDIO_IN_DDL = ("audio_id string, bytes binary, sample_rate int, "
+                "duration_s double")
+
+
+def build_videos_df(ids: DataFrame, id_col: str = "video_id",
+                    w: int = 32, h: int = 32, n_frames: int = 12) -> DataFrame:
+    """id column → deterministic video table (binary SVID payloads)."""
+    from ..synth import av
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [av.build_video_payload(i, w, h, n_frames)
+                    for i in pdf[id_col].astype(str)]
+            yield (pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=[c.split(" ")[0] for c in VIDEOS_DDL.split(", ")]))
+
+    return ids.select(F.col(id_col).cast("string").alias(id_col)) \
+        .mapInPandas(gen, schema=VIDEOS_DDL)
+
+
+def build_audio_df(ids: DataFrame, id_col: str = "audio_id",
+                   sample_rate: int = 8000) -> DataFrame:
+    """id column → deterministic audio table (binary SWAV payloads)."""
+    from ..synth import av
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # per-id duration varies deterministically (1.0-2.0 s)
+            rows = [av.build_audio_payload(
+                        i, sample_rate,
+                        seconds=1.0 + (img.seed_for(i) % 1000) / 1000.0)
+                    for i in pdf[id_col].astype(str)]
+            yield (pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=[c.split(" ")[0] for c in AUDIO_IN_DDL.split(", ")]))
+
+    return ids.select(F.col(id_col).cast("string").alias(id_col)) \
+        .mapInPandas(gen, schema=AUDIO_IN_DDL)
+
+
 FRAME_DDL = "video_id string, frame_idx int, ts_ms long, bytes binary"
 
 
 def frame_sample(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling — Spark plumbing is real (schema/batch shape),
-    the codec is stubbed: ffmpeg/pyav are not in this container."""
+    """Video frame sampling: decode the container, emit one encoded still
+    (lossless SPNG) every ``every_ms`` of media time — the canonical
+    video→image fan-out stage of a multimodal pipeline. One input row yields
+    ceil(duration/every_ms) output rows; mapInPandas streams Arrow batches so
+    a long video never materializes per-row Python objects outside the batch
+    loop. Swap ``synth.av.decode_video`` for a pyav binding to run on real
+    media."""
+    from ..synth import av
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "video decode requires an av library (ffmpeg/pyav); "
-                "not available in this environment")
-        yield pd.DataFrame()  # pragma: no cover
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "ts_ms": [], "bytes": []}
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                frames, fps = av.decode_video(bytes(data))
+                step = max(int(round(every_ms * fps / 1000.0)), 1)
+                for f in range(0, frames.shape[0], step):
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(f)
+                    out["ts_ms"].append(int(f * 1000 / fps))
+                    out["bytes"].append(img.encode(frames[f], "png"))
+            yield pd.DataFrame({
+                "video_id": pd.array(out["video_id"], dtype="string"),
+                "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                "ts_ms": pd.array(out["ts_ms"], dtype="Int64"),
+                "bytes": pd.Series(out["bytes"], dtype="object"),
+            })
 
     return videos.select(F.col("video_id").cast("string"), "bytes") \
         .mapInPandas(run, schema=FRAME_DDL)
 
 
-AUDIO_DDL = "audio_id string, duration_s double, rms double"
+AUDIO_DDL = "audio_id string, duration_s double, rms double, peak double"
 
 
 def audio_features(audio: DataFrame) -> DataFrame:
-    """Audio feature extraction — stubbed like frame_sample."""
+    """Audio feature extraction: decode PCM → duration, RMS and peak level
+    (normalized to [-1, 1]) — numpy-vectorized per payload inside the Arrow
+    batch loop. Swap ``synth.av.decode_audio`` for soundfile/ffmpeg to run on
+    real media."""
+    from ..synth import av
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "audio decode requires an audio library; "
-                "not available in this environment")
-        yield pd.DataFrame()  # pragma: no cover
+        for pdf in batches:
+            ids, durs, rmss, peaks = [], [], [], []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                pcm, rate = av.decode_audio(bytes(data))
+                x = pcm.astype(np.float64) / 32768.0
+                ids.append(aid)
+                durs.append(len(pcm) / rate)
+                rmss.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                peaks.append(float(np.max(np.abs(x))) if len(x) else 0.0)
+            yield pd.DataFrame({
+                "audio_id": pd.array(ids, dtype="string"),
+                "duration_s": pd.array(durs, dtype="float64"),
+                "rms": pd.array(rmss, dtype="float64"),
+                "peak": pd.array(peaks, dtype="float64"),
+            })
 
     return audio.select(F.col("audio_id").cast("string"), "bytes") \
         .mapInPandas(run, schema=AUDIO_DDL)

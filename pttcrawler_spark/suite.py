@@ -654,6 +654,115 @@ def img_phash_dedup(spark, sf_dir):
             .where(F.col("n_copies") >= 2))
 
 
+# F6/F7 raw-page parse suite entries: a fixed 192-slot synthetic site
+# (normal / transcription / broken page mix) rendered ON EXECUTORS, parsed by
+# the distributed Column-expression parser, checked against the pure-Python
+# oracle parser via a driver-side fixture (tests/fixtures/gen_parse192.py).
+PARSE_SITE = {"n_boards": 4, "pages_per_board": 2, "articles_per_page": 24}
+_PARSE_SLOTS = (PARSE_SITE["n_boards"] * PARSE_SITE["pages_per_board"]
+                * PARSE_SITE["articles_per_page"])
+
+
+def _parsed_slots(spark, sf_dir):
+    """(parsed DF incl. parse_error, slot↔web_id map, per-document slot ids)."""
+    import pandas as pd
+
+    from .functions import parse as FP
+
+    ids = (t(spark, sf_dir, "documents")
+           .select(F.pmod(F.col("doc_id"), F.lit(_PARSE_SLOTS))
+                   .cast("long").alias("slot")))
+    slots = ids.distinct()
+
+    def gen(batches):
+        from .synth.site import (SiteConfig, article_page_html, is_deleted,
+                                 web_id_for)
+        cfg = SiteConfig(**PARSE_SITE)
+        arts, pages = cfg.articles_per_page, cfg.pages_per_board
+        cols = ["slot", "web_id", "board", "page_index", "dom_pos", "html"]
+        for pdf in batches:
+            rows = []
+            for s in pdf["slot"]:
+                s = int(s)
+                b, rem = divmod(s, pages * arts)
+                p0, pos = divmod(rem, arts)
+                page = p0 + 1
+                if is_deleted(cfg, b, page, pos):
+                    continue  # deleted slots absent on both sides
+                rows.append({
+                    "slot": s, "web_id": web_id_for(cfg, b, page, pos),
+                    "board": cfg.board_name(b), "page_index": page,
+                    "dom_pos": pos, "html": article_page_html(cfg, b, page, pos),
+                })
+            yield (pd.DataFrame(rows) if rows else pd.DataFrame(columns=cols))
+
+    raw = slots.mapInPandas(
+        gen, schema=("slot long, web_id string, board string, "
+                     "page_index int, dom_pos int, html string"))
+    parsed = FP.parse_articles(
+        raw.select("web_id", "board", "page_index", "dom_pos", "html"))
+    idmap = raw.select("slot", "web_id")
+    return parsed, idmap, ids
+
+
+def f6_content_clean(spark, sf_dir):
+    """F6 oracle entry: content cleaning (charset filter, tag/meta/push
+    stripping, url-line drop) byte-checked via md5 against the pure-Python
+    oracle parse — parse-ok pages only (crawler/article.py:326-339)."""
+    parsed, idmap, ids = _parsed_slots(spark, sf_dir)
+    return (parsed.where(F.col("parse_error").isNull())
+            .join(idmap, "web_id")
+            .join(ids, "slot")
+            .select("slot", "web_id", "title",
+                    F.md5(F.col("content")).alias("content_md5"),
+                    F.col("post_ip").alias("ip"),
+                    F.col("post_date_raw").alias("date_raw")))
+
+
+def f7_transcription(spark, sf_dir):
+    """F7 oracle entry: transcription fallback + PostException analog — every
+    page's parse_error verdict, title ('' when no metalines) and the
+    date field (raw metaline / reformatted 轉錄者 date / '' when broken)
+    (crawler/article.py:299-313, 472-483)."""
+    parsed, idmap, ids = _parsed_slots(spark, sf_dir)
+    return (parsed.join(idmap, "web_id")
+            .join(ids, "slot")
+            .select("slot", "web_id", "parse_error", "title",
+                    F.col("post_date_raw").alias("date_raw")))
+
+
+def av_frame_sample(spark, sf_dir):
+    """Video→stills fan-out: deterministic video table from doc ids →
+    decode container → sample a frame every 500 ms media time
+    (functions/image_ops.frame_sample). Emits (video_id, frame_idx, ts_ms);
+    the sampled-frame bytes are exercised (decoded/encoded on executors) but
+    dropped here — the oracle checks the sampling grid, the golden test
+    (tests/test_image_ops.py) checks the pixels."""
+    from .functions import image_ops as IMG
+    ids = (t(spark, sf_dir, "documents")
+           .select(F.col("doc_id").cast("string").alias("video_id")))
+    vids = IMG.build_videos_df(ids, n_frames=12)  # fps 10 → 1200 ms media
+    return (IMG.frame_sample(vids, every_ms=500)
+            .select("video_id", F.col("frame_idx").cast("int"),
+                    F.col("ts_ms").cast("bigint")))
+
+
+def av_audio_features(spark, sf_dir):
+    """Audio feature extraction: ids folded mod 40 → deterministic PCM →
+    duration/RMS/peak via mapInPandas; oracle = numpy fixture table
+    (tests/fixtures/audio_feat40.parquet)."""
+    from .functions import image_ops as IMG
+    ids = (t(spark, sf_dir, "documents")
+           .select(F.pmod(F.col("doc_id"), F.lit(40)).cast("string")
+                   .alias("audio_id")))
+    feats = IMG.audio_features(IMG.build_audio_df(ids))
+    return feats.select(
+        "audio_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"))
+
+
 # --- streaming-analog + misc ----------------------------------------------------
 def stream_tumbling_agg(spark, sf_dir):
     """A6/streaming: tumbling 1h window agg over the events stream table."""
@@ -1011,6 +1120,34 @@ ORACLE_SQL: dict[str, str] = {
         SELECT phash64, count(*) AS n_copies
         FROM ids JOIN ph USING (image_id)
         GROUP BY phash64 HAVING count(*) >= 2""",
+    # frame_sample grid: fps=10, 12 frames, every_ms=500 → step 5 → frames
+    # {0,5,10} at media time {0,500,1000} ms for EVERY video — the sampling
+    # arithmetic is the oracle; frame pixel parity is pytest-golden-checked.
+    "av_frame_sample": """
+        SELECT cast(doc_id AS varchar) AS video_id,
+               CAST(f.frame_idx AS INTEGER) AS frame_idx,
+               CAST(f.frame_idx * 100 AS BIGINT) AS ts_ms
+        FROM documents
+        CROSS JOIN (VALUES (0), (5), (10)) AS f(frame_idx)""",
+    # Oracle side-table: 40-row parquet of (audio_id, duration_s, rms, peak)
+    # computed driver-side with pure numpy (tests/fixtures/gen_audio_feat40.py)
+    "av_audio_features": """
+        WITH af AS (SELECT * FROM '/root/repo/tests/fixtures/audio_feat40.parquet'),
+        ids AS (SELECT cast(doc_id % 40 AS varchar) AS audio_id FROM documents)
+        SELECT audio_id, duration_s, rms, peak
+        FROM ids JOIN af USING (audio_id)""",
+    # F6/F7 oracle side-table: 168-row parquet of oracle-parsed fields over
+    # the fixed 192-slot page mix (tests/fixtures/gen_parse192.py)
+    "f6_content_clean": """
+        WITH fx AS (SELECT * FROM '/root/repo/tests/fixtures/parse192.parquet'),
+        ids AS (SELECT doc_id % 192 AS slot FROM documents)
+        SELECT slot, web_id, title, content_md5, ip, date_raw
+        FROM ids JOIN fx USING (slot) WHERE parse_error IS NULL""",
+    "f7_transcription": """
+        WITH fx AS (SELECT * FROM '/root/repo/tests/fixtures/parse192.parquet'),
+        ids AS (SELECT doc_id % 192 AS slot FROM documents)
+        SELECT slot, web_id, parse_error, title, date_raw
+        FROM ids JOIN fx USING (slot)""",
 }
 
 
@@ -1071,5 +1208,9 @@ def queries():
         "img_decode_stats": img_decode_stats,
         "img_resize_thumb": img_resize_thumb,
         "img_phash_dedup": img_phash_dedup,
+        "av_frame_sample": av_frame_sample,
+        "av_audio_features": av_audio_features,
+        "f6_content_clean": f6_content_clean,
+        "f7_transcription": f7_transcription,
     }
     return q

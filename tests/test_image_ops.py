@@ -84,12 +84,57 @@ def test_phash_dedup_groups(spark):
     assert len(groups) == 10 and (groups["n"] == 2).all()
 
 
-def test_av_stubs_raise(spark):
-    vids = spark.createDataFrame([("v1", b"\x00\x01")], "video_id string, bytes binary")
-    with pytest.raises(Exception) as ei:
-        IMG.frame_sample(vids).collect()
-    assert "NotImplementedError" in str(ei.value) or "av library" in str(ei.value)
-    auds = spark.createDataFrame([("a1", b"\x00\x01")], "audio_id string, bytes binary")
-    with pytest.raises(Exception) as ei2:
-        IMG.audio_features(auds).collect()
-    assert "NotImplementedError" in str(ei2.value) or "audio library" in str(ei2.value)
+def test_frame_sample_golden(spark):
+    """Spark frame_sample matches a driver-side decode of the same payloads:
+    frame indices step by round(every_ms*fps/1000), timestamps are media
+    time, and each emitted still decodes back to the source frame."""
+    from pttcrawler_spark.synth import av, images as img
+
+    ids = spark.createDataFrame([("v0",), ("v1",), ("v2",)],
+                                "video_id string")
+    vids = IMG.build_videos_df(ids, n_frames=12)  # fps=10 → 1200 ms media
+    out = IMG.frame_sample(vids, every_ms=500).toPandas()
+
+    # fps=10, every_ms=500 → step 5 → frames 0,5,10 per video
+    for vid in ("v0", "v1", "v2"):
+        rows = out[out.video_id == vid].sort_values("frame_idx")
+        assert rows.frame_idx.tolist() == [0, 5, 10]
+        assert rows.ts_ms.tolist() == [0, 500, 1000]
+        frames = av.make_frames(vid, n_frames=12)
+        for _, r in rows.iterrows():
+            assert (img.decode(bytes(r["bytes"])) ==
+                    frames[r["frame_idx"]]).all()
+
+
+def test_audio_features_golden(spark):
+    """Spark audio_features matches numpy features computed driver-side."""
+    import numpy as np
+
+    from pttcrawler_spark.synth import av
+
+    ids = spark.createDataFrame([("a0",), ("a1",), ("a2",), ("a3",)],
+                                "audio_id string")
+    out = IMG.audio_features(IMG.build_audio_df(ids)).toPandas() \
+        .set_index("audio_id")
+    from pttcrawler_spark.synth.images import seed_for
+    for aid in ("a0", "a1", "a2", "a3"):
+        pcm = av.make_waveform(aid, 8000,
+                               seconds=1.0 + (seed_for(aid) % 1000) / 1000.0)
+        x = pcm.astype(np.float64) / 32768.0
+        r = out.loc[aid]
+        assert abs(r["duration_s"] - len(pcm) / 8000) < 1e-9
+        assert abs(r["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-12
+        assert abs(r["peak"] - float(np.max(np.abs(x)))) < 1e-12
+    # sanity: a pure sine + small noise has RMS in a plausible band
+    assert 0.2 < out["rms"].min() and out["rms"].max() < 0.8
+
+
+def test_video_codec_roundtrip():
+    from pttcrawler_spark.synth import av
+
+    frames = av.make_frames("vx", 16, 16, 5)
+    dec, fps = av.decode_video(av.encode_video(frames, fps=10))
+    assert fps == 10 and (dec == frames).all()
+    pcm = av.make_waveform("ax")
+    dec2, rate = av.decode_audio(av.encode_audio(pcm))
+    assert rate == 8000 and (dec2 == pcm).all()
