@@ -105,16 +105,23 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
     # and each concurrent write job then starves the machine through its
     # straggler tail. On a real cluster the frontier is pre-partitioned by
     # host_salt and this knob is sized per executor count the same way.
+    heap_gb = int("".join(filter(str.isdigit,
+                                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                                "8g"))) or 8)
     spark = get_spark(cores, app_name=f"crawl_bench_{cores}",
                       extra_conf={
                           "spark.sql.files.maxPartitionBytes":
                           str(16 * 1024 * 1024),
-                          # commit+zero the whole heap at JVM startup
-                          # (before the timed region) — first-touch page
+                          # AlwaysPreTouch: commit+zero the heap at JVM
+                          # startup (before the timed region) — first-touch
                           # zeroing otherwise lands as kernel time inside
-                          # the first big batches, core-count-independent
+                          # the first big batches. ParallelGC + half-heap
+                          # young gen: the parse stages are allocation-heavy
+                          # (chained regexp_replace string churn); measured
+                          # ~8% over G1 at local[32] and steadier batches.
                           "spark.driver.extraJavaOptions":
-                          "-XX:+AlwaysPreTouch",
+                          "-XX:+AlwaysPreTouch -XX:+UseParallelGC "
+                          f"-Xmn{max(heap_gb // 2, 1)}g",
                       })
     cfg = _site_cfg(site)
     # NOT persisted: each batch re-scans the corpus through the broadcast
@@ -141,12 +148,21 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
             steady = steady[1:]
         sustained = (sum(b["fetched"] for b in steady)
                      / max(sum(b["wall_s"] for b in steady), 1e-9))
+        # median batch throughput: this sandbox VM shows occasional
+        # multi-second host stalls (steal time up to ~13% observed; one
+        # measured batch took 111 s against 22-24 s identical neighbors) —
+        # the mean is poisoned by a single stall, the across-batch median of
+        # IDENTICAL drain batches is the honest steady-state figure. Both
+        # are reported.
+        rates = sorted(b["fetched"] / b["wall_s"] for b in steady if b["wall_s"] > 0)
+        median = rates[len(rates) // 2] if rates else 0.0
         return {
             "cores": cores,
             "urls_fetched": n_fetched,
             "wall_s": round(wall, 3),
             "urls_per_sec": round(n_fetched / wall, 2),
             "sustained_urls_per_sec": round(sustained, 2),
+            "median_batch_urls_per_sec": round(median, 2),
             "batches": res.final_batch + 1,
             "batch_stats": res.batch_stats,
         }
@@ -217,6 +233,47 @@ def mem_stream_bench(levels=SCALING_LEVELS) -> dict:
     return out
 
 
+def _cpu_worker(q, seconds=20.0):
+    # cache-resident integer hashing — no memory streaming, no allocation:
+    # isolates what the HOST will let n cores sustain over a long busy window
+    t_end = time.perf_counter() + seconds
+    x, ops = 0x9E3779B97F4A7C15, 0
+    while time.perf_counter() < t_end:
+        for _ in range(100_000):
+            x = (x * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        ops += 100_000
+    q.put(ops)
+
+
+def cpu_sustained_bench(levels=SCALING_LEVELS, seconds=20.0) -> dict:
+    """Host sustained pure-CPU ceiling: aggregate ops/s of n concurrent
+    cache-resident integer workers over a 20 s+ busy window.
+
+    Short CPU bursts on this VM scale 8→32 near-perfectly (~0.9), but LONG
+    busy windows are host-throttled (steal time up to ~13% observed) — this
+    measures the ceiling any sustained 32-thread job faces, Spark or not.
+    Recorded per-run so the crawl's scaling efficiency can be read against
+    the host's own."""
+    import multiprocessing as mp
+    out = {}
+    for n in sorted(set(levels)):
+        q = mp.Queue()
+        procs = [mp.Process(target=_cpu_worker, args=(q, seconds))
+                 for _ in range(n)]
+        t0 = time.perf_counter()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        wall = time.perf_counter() - t0
+        total = sum(q.get() for _ in range(n))
+        out[str(n)] = round(total / wall / 1e6, 1)  # M ops/s aggregate
+    for lo, hi in zip(sorted(set(levels)), sorted(set(levels))[1:]):
+        out[f"efficiency_{lo}to{hi}"] = round(
+            (out[str(hi)] / out[str(lo)]) / (hi / lo), 3)
+    return out
+
+
 def scaling_bench(spark, levels=SCALING_LEVELS) -> dict:
     """The SAME crawl job on the SAME corpus at each parallelism level, each
     in a FRESH JVM — the sandbox substitution for N vs 4N executors."""
@@ -229,14 +286,16 @@ def scaling_bench(spark, levels=SCALING_LEVELS) -> dict:
         # measured ~30% slower sustained with it alive)
         spark.stop()
         out: dict = {"site": SITE_SCALING,
-                     "host_mem_stream_GBps": mem_stream_bench(levels)}
+                     "host_mem_stream_GBps": mem_stream_bench(levels),
+                     "host_cpu_sustained_Mops": cpu_sustained_bench(levels)}
         for cores in levels:
             r = _run_worker(cores, SITE_SCALING, corpus_path)
             r.pop("batch_stats", None)
             out[f"local[{cores}]"] = r
         for lo, hi in zip(levels, levels[1:]):
             for key, tag in [("urls_per_sec", "overall"),
-                             ("sustained_urls_per_sec", "sustained")]:
+                             ("sustained_urls_per_sec", "sustained"),
+                             ("median_batch_urls_per_sec", "median_batch")]:
                 ratio = (out[f"local[{hi}]"][key] / out[f"local[{lo}]"][key])
                 out[f"speedup_{tag}_{lo}to{hi}"] = round(ratio, 3)
                 out[f"efficiency_{tag}_{lo}to{hi}"] = round(ratio / (hi / lo), 3)

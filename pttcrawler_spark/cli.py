@@ -46,6 +46,16 @@ def valid_date_type(arg_date_str: str) -> _dt.datetime:
             f"Given Datetime ({arg_date_str}) not valid! Expected format, 'YYYY-MM-DD'!")
 
 
+def valid_datetime_minute_type(arg: str) -> _dt.datetime:
+    """'YYYY-MM-DD HH:MM' (utils.py valid_datetime_type analog)."""
+    try:
+        return _dt.datetime.strptime(arg, "%Y-%m-%d %H:%M")
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"Given Datetime ({arg}) not valid! Expected format, "
+            "'YYYY-MM-DD HH:MM'!")
+
+
 def _base_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(add_help=False)
     p.add_argument("--debug-mode", action="store_true")
@@ -105,6 +115,27 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["ods", "csv", "json"])
     pe.add_argument("--output-folder", type=str, required=True)
     pe.add_argument("--output-prefix", type=str, default="")
+
+    # schedule.py:136-157 surface: update/remove keyed by (module, --args),
+    # plus engine extensions list / run-due
+    ps = sub.add_parser("schedule", parents=[base])
+    act = ps.add_subparsers(dest="action", required=True)
+    pu_ = act.add_parser("update")
+    pu_.add_argument("crawler_module",
+                     choices=["article_index", "article", "asn", "user"])
+    pu_.add_argument("-c", "--cycle-time", dest="cycle_time", type=int,
+                     required=True)
+    pu_.add_argument("-s", "--start-datetime", dest="start_datetime",
+                     type=valid_datetime_minute_type, default=None,
+                     help='start datetime "YYYY-MM-DD HH:MM"')
+    pu_.add_argument("--args", type=str, required=True)
+    pr_ = act.add_parser("remove")
+    pr_.add_argument("crawler_module",
+                     choices=["article_index", "article", "asn", "user"])
+    pr_.add_argument("--args", type=str, required=True)
+    act.add_parser("list")
+    pd_ = act.add_parser("run-due")
+    pd_.add_argument("--now", type=valid_datetime_minute_type, default=None)
 
     pq = sub.add_parser("query", parents=[base])
     pq.add_argument("--board-name", type=str.lower, required=True)
@@ -320,6 +351,31 @@ def cmd_query(args, cfg) -> int:
     return 0
 
 
+def cmd_schedule(args, cfg) -> int:
+    import datetime as dt
+
+    from . import schedule as SCH
+    store = _store_dir(args, cfg)
+    if args.action == "update":
+        start = args.start_datetime or (dt.datetime.now()
+                                        + dt.timedelta(minutes=1))
+        spec = SCH.update_job(store, args.crawler_module, args.args,
+                              start, args.cycle_time)
+        print(f"{spec.minute} {spec.hour} */{spec.dom_every} * * "
+              f"pttcrawler_spark {spec.module} {spec.args}")
+    elif args.action == "remove":
+        removed = SCH.remove_job(store, args.crawler_module, args.args)
+        print("removed" if removed else "no such job")
+    elif args.action == "list":
+        for j in SCH.load_jobs(store):
+            print(f"{j.module}\t{j.args}\t{j.minute} {j.hour} "
+                  f"*/{j.dom_every}\tlast_run={j.last_run}")
+    elif args.action == "run-due":
+        fired = SCH.run_due(store, now=args.now)
+        print(f"fired: {len(fired)}")
+    return 0
+
+
 COMMANDS = {
     "article": cmd_article,
     "article_index": cmd_article_index,
@@ -327,6 +383,7 @@ COMMANDS = {
     "asn": cmd_asn,
     "export": cmd_export,
     "query": cmd_query,
+    "schedule": cmd_schedule,
 }
 
 
