@@ -109,6 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
     g_n = pn.add_mutually_exclusive_group(required=True)
     g_n.add_argument("--ip-list", type=str)
     g_n.add_argument("--database", action="store_true")
+    pn.add_argument("--real-whois", action="store_true",
+                    help="resolve through ipwhois (needs the ipwhois package "
+                         "and network egress) instead of the synth lookup")
 
     pe = sub.add_parser("export", parents=[base])
     pe.add_argument("--format", type=str, required=True,
@@ -303,7 +306,7 @@ def cmd_user(args, cfg) -> int:
 
 
 def cmd_asn(args, cfg) -> int:
-    from .engine.store import enrich_ip_asn
+    from .engine.store import enrich_ip_asn, ipwhois_asn_lookup
     spark = _spark(args)
     if args.ip_list:
         ips = [s.strip() for s in args.ip_list.split(",") if s.strip()]
@@ -311,7 +314,8 @@ def cmd_asn(args, cfg) -> int:
     else:
         store = _store_dir(args, cfg)
         df = _tables(spark, store, cfg)["ip_asn"].select("ip")
-    enriched = enrich_ip_asn(df)
+    enriched = enrich_ip_asn(
+        df, lookup=ipwhois_asn_lookup if args.real_whois else None)
     for row in enriched.collect():
         print(f"{row['ip']}\t{row['asn']}\t{row['asn_country_code']}")
     return 0
@@ -322,13 +326,8 @@ def cmd_export(args, cfg) -> int:
     spark = _spark(args)
     store = _store_dir(args, cfg)
     tables = _tables(spark, store, cfg)
-    fmt = args.format
-    if fmt == "ods":
-        print("warning: no ods writer in this stack — degrading to csv "
-              "(same sheet content; export.py:287-296)", file=sys.stderr)
-        fmt = "csv"
     out_dir = str(Path(args.output_folder) / (args.output_prefix or ""))
-    paths = export_sheets(tables, out_dir, fmt=fmt)
+    paths = export_sheets(tables, out_dir, fmt=args.format)
     for name, path in paths.items():
         print(f"{name}: {path}")
     return 0

@@ -185,10 +185,27 @@ def user_sheet(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def export_sheets(t: dict[str, DataFrame], out_dir: str, fmt: str = "csv") -> dict[str, str]:
-    """Write the three sheets (S10 csv / S9 json). Returns sheet → path."""
+    """Write the three sheets (S10 csv / S11 ods / S9 json).
+    Returns sheet → path (ods: one shared file, like the reference's single
+    Ptt_report .ods holding all sheets — export.py:287-296)."""
     sheets = {"Article": article_sheet(t), "Push": push_sheet(t),
               "User": user_sheet(t)}
     paths = {}
+    if fmt == "ods":
+        from .ods import write_ods
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        path = str(Path(out_dir) / "Ptt_report.ods")
+        # header row first, then rows streamed through the driver one
+        # partition at a time (toLocalIterator) — the sheet plans above stay
+        # distributed; only the single-file serialization is sequential,
+        # which is inherent to the one-file report artifact
+        def _rows(df):
+            yield df.columns
+            for row in df.toLocalIterator():
+                yield [row[c] for c in df.columns]
+
+        write_ods(path, {name: _rows(df) for name, df in sheets.items()})
+        return {name: path for name in sheets}
     for name, df in sheets.items():
         path = str(Path(out_dir) / f"{name.lower()}_{fmt}")
         # single ordered output file per sheet, like the reference's one
@@ -200,6 +217,6 @@ def export_sheets(t: dict[str, DataFrame], out_dir: str, fmt: str = "csv") -> di
         elif fmt == "json":
             w.json(path)
         else:
-            raise ValueError(f"unsupported fmt {fmt!r} (ods is a non-goal)")
+            raise ValueError(f"unsupported fmt {fmt!r}")
         paths[name] = path
     return paths

@@ -239,15 +239,49 @@ def synth_asn_lookup(ip: str) -> dict:
     }
 
 
-def enrich_ip_asn(ip_asn: DataFrame) -> DataFrame:
+def ipwhois_asn_lookup(ip: str) -> dict:
+    """REAL whois ASN lookup via ipwhois — same row shape as
+    synth_asn_lookup, same field handling as the reference
+    (crawler/asn.py:52-58: IPASN(Net(ip)).lookup() + '%Y-%m-%d' asn_date
+    parse). ipwhois isn't installed in this sandbox (and needs network), so
+    this import-gates; pass ``lookup=ipwhois_asn_lookup`` to enrich_ip_asn
+    in a connected deployment."""
+    import datetime as _dt
+
+    try:
+        from ipwhois.asn import IPASN  # noqa: PLC0415
+        from ipwhois.net import Net  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - sandbox has no ipwhois
+        raise RuntimeError(
+            "ipwhois is not installed; install it (and allow network egress "
+            "from executors) or use the default synthetic lookup") from e
+    result = {"ip": ip, "asn_raw": None}
+    result.update(IPASN(Net(ip)).lookup())
+    if result.get("asn_date"):
+        result["asn_date"] = _dt.datetime.strptime(result["asn_date"],
+                                                   "%Y-%m-%d")
+    return {k: result.get(k) for k in
+            ("ip", "asn", "asn_registry", "asn_cidr", "asn_country_code",
+             "asn_description", "asn_raw", "asn_date")}
+
+
+def enrich_ip_asn(ip_asn: DataFrame, lookup=None) -> DataFrame:
     """mapInPandas enrichment over distinct IPs — ordered by asn queue
     semantics are irrelevant here (ip is the PK); batched like the
-    reference's 100-row flushes (crawler/asn.py:60-62)."""
+    reference's 100-row flushes (crawler/asn.py:60-62).
+
+    ``lookup`` is the per-ip resolver: default deterministic synth (sandbox);
+    ``ipwhois_asn_lookup`` for the reference's real whois path. Each Arrow
+    batch resolves ~100s of ips per executor task, so real-network latency
+    overlaps across partitions instead of serializing like the reference's
+    one-ip-at-a-time loop."""
     import pandas as pd
+
+    lookup = lookup or synth_asn_lookup
 
     def enrich(batches):
         for pdf in batches:
-            rows = [synth_asn_lookup(ip) for ip in pdf["ip"]]
+            rows = [lookup(ip) for ip in pdf["ip"]]
             out = pd.DataFrame(rows)
             yield out
 

@@ -387,6 +387,77 @@ def dedup_embedding_cosine(spark, sf_dir):
                     F.round(cos, 4).alias("cosine")))
 
 
+_EMB_LSH_BANDS, _EMB_LSH_ROWS = 4, 4  # 16 sign bits → 4 bands × 4 bits
+
+
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup, SCALE path: random-hyperplane (sign) LSH.
+
+    dedup_embedding_cosine above is the O(n²) correctness twin; this is the
+    production shape — 16 signed projections per vector → 4 bands of 4 bits
+    → bucket self-join emits candidates in O(n·H + candidates), and the exact
+    cosine (same ≥ 0.4 predicate as the brute-force query) verifies ONLY the
+    candidates. The 16 hyperplanes are a seeded fixture dim table
+    (tests/fixtures/gen_hyperplanes16.py) broadcast to executors; the DuckDB
+    oracle joins the SAME parquet and recomputes signatures independently.
+    Projections use floor(x·1000) integer embeddings and integer plane
+    components, so every dot product is exactly representable and the sign
+    bit cannot drift between engines.
+
+    Recall is the usual LSH knob (bands × rows): at sf0.01 the buckets admit
+    24% of all pairs (29,458 / 124,750) and recover 100% of pairs at
+    cosine ≥ 0.5 and 56% of the marginal 0.40-0.45 tail — sign-LSH is built
+    for the high-similarity regime; raise bands (or rows) to trade candidate
+    volume for tail recall. The oracle checks the operator's defined
+    semantics (shared-band ∧ cosine ≥ 0.4), engine-for-engine."""
+    import pathlib
+
+    hp = spark.read.parquet(str(
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tests" / "fixtures" / "hyperplanes16.parquet"))
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * 1000)).alias("iv"))
+    dot_i = F.aggregate(
+        F.zip_with(F.col("iv"), F.col("hv"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    proj = (e.crossJoin(F.broadcast(hp))
+            .select("vec_id", "plane_id",
+                    F.when(dot_i >= 0, F.lit("1")).otherwise(F.lit("0"))
+                    .alias("bit")))
+    bits = (proj.groupBy("vec_id")
+            .agg(F.array_sort(F.collect_list(F.struct("plane_id", "bit")))
+                 .alias("pb"))
+            .select("vec_id",
+                    F.transform("pb", lambda p: p["bit"]).alias("bits")))
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(_EMB_LSH_BANDS - 1)),
+        lambda j: F.array_join(
+            F.slice(F.col("bits"), j * _EMB_LSH_ROWS + 1, _EMB_LSH_ROWS), ""))
+    bd = bits.select("vec_id", F.posexplode(bands).alias("band", "sig"))
+    a, b = bd.alias("a"), bd.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(F.col("va"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(F.col("vb"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (na * nb)
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
+            .where(cos >= 0.4)
+            .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine")))
+
+
 _MINHASH_K, _LSH_BANDS, _LSH_ROWS = 12, 4, 3
 
 
@@ -942,6 +1013,39 @@ ORACLE_SQL: dict[str, str] = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) /
               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
+    # Independent sign-LSH recomputation over the SAME hyperplane fixture:
+    # DuckDB derives the 16 sign bits, bands, buckets, and candidate pairs
+    # itself — only the seeded plane table is shared with the Spark path.
+    # Integer projections (floor(x*1000) · int planes) are exact in a double,
+    # so the sign bits agree between engines by construction.
+    "dedup_embedding_lsh": """
+        WITH hp AS (SELECT plane_id, hv
+                    FROM '/root/repo/tests/fixtures/hyperplanes16.parquet'),
+        e AS (SELECT vec_id,
+                     list_transform(embedding, x -> cast(x AS double)) AS v,
+                     list_transform(embedding,
+                         x -> CAST(floor(cast(x AS double) * 1000) AS BIGINT)) AS iv
+              FROM embeddings),
+        bits AS (SELECT vec_id, plane_id,
+                        CASE WHEN list_dot_product(iv, hv) >= 0
+                             THEN '1' ELSE '0' END AS bit
+                 FROM e, hp),
+        sig AS (SELECT vec_id, plane_id // 4 AS band,
+                       string_agg(bit, '' ORDER BY plane_id) AS s
+                FROM bits GROUP BY vec_id, plane_id // 4),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 FROM sig a JOIN sig b
+                   ON a.band = b.band AND a.s = b.s AND a.vec_id < b.vec_id)
+        SELECT c.vec_a, c.vec_b,
+               round(list_dot_product(ea.v, eb.v) /
+                     (sqrt(list_dot_product(ea.v, ea.v)) *
+                      sqrt(list_dot_product(eb.v, eb.v))), 4) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+        WHERE list_dot_product(ea.v, eb.v) /
+              (sqrt(list_dot_product(ea.v, ea.v)) *
+               sqrt(list_dot_product(eb.v, eb.v))) >= 0.4""",
     "ann_topk_bruteforce": """
         WITH e AS (SELECT vec_id,
                           list_transform(embedding, x -> cast(x AS double)) AS v
@@ -1187,6 +1291,7 @@ def queries():
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "text_simhash": text_simhash,
         "text_langid": text_langid,

@@ -52,12 +52,19 @@ def test_export_csv(store, tmp_path):
     assert len(csvs) >= 3
 
 
-def test_export_ods_degrades(store, tmp_path):
+def test_export_ods(store, tmp_path):
+    """S11 through the CLI: one real .ods report file, all three sheets
+    (reference export.py:287-296)."""
     cp = run_cli("export", "--format", "ods",
                  "--output-folder", str(tmp_path / "ods"),
                  "--store", store, "--cores", "4")
     assert cp.returncode == 0, cp.stderr[-2000:]
-    assert "degrading to csv" in cp.stderr
+    from pttcrawler_spark.engine.ods import read_ods
+    path = cp.stdout.strip().splitlines()[-1].split(": ", 1)[1]
+    assert path.endswith("Ptt_report.ods")
+    book = read_ods(path)
+    assert list(book) == ["Article", "Push", "User"]
+    assert all(len(rows) >= 1 for rows in book.values())
 
 
 def test_query_console(store):

@@ -96,6 +96,36 @@ def test_csv_json_sink_roundtrip(spark, rel):
         # exactly one data file per sheet (reference: one file per sheet)
         assert len(glob.glob(f"{csv_paths['Article']}/part-*")) == 1
         with pytest.raises(ValueError):
-            E.export_sheets(rel, out, fmt="ods")
+            E.export_sheets(rel, out, fmt="xlsx")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_ods_sink_roundtrip(spark, rel):
+    """S11: one .ods holding all three sheets (reference export.py:287-296),
+    cell-identical to the sheet DataFrames, readable as a real zip+ODF doc."""
+    from pttcrawler_spark.engine.ods import MIMETYPE, read_ods
+
+    out = tempfile.mkdtemp(prefix="export_ods_test_")
+    try:
+        paths = E.export_sheets(rel, out, fmt="ods")
+        assert len(set(paths.values())) == 1  # single shared report file
+        path = paths["Article"]
+        import zipfile
+        with zipfile.ZipFile(path) as zf:
+            # ODF spec: `mimetype` first and uncompressed
+            first = zf.infolist()[0]
+            assert first.filename == "mimetype"
+            assert first.compress_type == zipfile.ZIP_STORED
+            assert zf.read("mimetype").decode() == MIMETYPE
+        book = read_ods(path)
+        assert list(book) == ["Article", "Push", "User"]
+        for name, df in [("Article", E.article_sheet(rel)),
+                         ("Push", E.push_sheet(rel)),
+                         ("User", E.user_sheet(rel))]:
+            rows = book[name]
+            assert rows[0] == df.columns
+            expect = [[row[c] for c in df.columns] for row in df.collect()]
+            assert rows[1:] == expect
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -87,6 +87,21 @@ def test_asn_enrichment_deterministic(tables, spark):
     assert enriched["asn_country_code"].dropna().isin(["TW", "US", "JP"]).all()
 
 
+def test_asn_enrichment_pluggable_lookup(tables):
+    """The real-whois path (crawler/asn.py:52-58) plugs in through the same
+    interface; exercised with a stub resolver (no ipwhois/network in the
+    sandbox — ipwhois_asn_lookup itself import-gates with a clear error)."""
+    def stub(ip):
+        out = S.synth_asn_lookup(ip)
+        out["asn_description"] = f"REAL-{ip}"
+        return out
+
+    enriched = S.enrich_ip_asn(tables["ip_asn"], lookup=stub).toPandas()
+    assert (enriched["asn_description"] == "REAL-" + enriched["ip"]).all()
+    with pytest.raises(RuntimeError, match="ipwhois is not installed"):
+        S.ipwhois_asn_lookup("8.8.8.8")
+
+
 def test_article_documents_match_oracle(spark, crawled, oracle, corpus_pdf, site_cfg):
     """S9: the nested JSON document (crawler/article.py:371-382) field-for-
     field against the oracle parser's dicts, messages in page order."""
