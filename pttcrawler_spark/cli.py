@@ -334,7 +334,8 @@ def cmd_export(args, cfg) -> int:
 
 
 def cmd_query(args, cfg) -> int:
-    from .engine.query import tw_ip_report, write_report_csv
+    from .engine.query import (tw_ip_report, write_report_csv,
+                               write_report_ods)
     spark = _spark(args)
     store = _store_dir(args, cfg)
     tables = _tables(spark, store, cfg)
@@ -342,9 +343,10 @@ def cmd_query(args, cfg) -> int:
     rep = tw_ip_report(tables, args.board_name, start, end)
     if args.format == "console":
         rep.show(truncate=False)
+    elif args.format == "ods":
+        path = write_report_ods(rep, args.output_folder)
+        print(f"query ods: {path}")
     else:
-        if args.format == "ods":
-            print("warning: ods degrades to csv", file=sys.stderr)
         path = write_report_csv(rep, args.output_folder)
         print(f"query csv: {path}")
     return 0

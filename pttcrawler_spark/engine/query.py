@@ -88,3 +88,24 @@ def write_report_csv(report: DataFrame, output_folder: str,
     path = f"{output_folder}/Ptt_query_{stamp}_csv"
     report.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
     return path
+
+
+def write_report_ods(report: DataFrame, output_folder: str,
+                     export_date: datetime | None = None) -> str:
+    """query.py:129-135 ods sink: one sheet named 'Query' (header row first,
+    like _get_export_rows' data[0]) in Ptt_query_{YYYY-MM-DD}.ods."""
+    from pathlib import Path
+
+    from .ods import write_ods
+
+    stamp = (export_date or datetime.now()).strftime("%Y-%m-%d")
+    Path(output_folder).mkdir(parents=True, exist_ok=True)
+    path = f"{output_folder}/Ptt_query_{stamp}.ods"
+
+    def _rows():
+        yield report.columns
+        for row in report.toLocalIterator():
+            yield [row[c] for c in report.columns]
+
+    write_ods(path, {"Query": _rows()})
+    return path

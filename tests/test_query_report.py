@@ -81,3 +81,22 @@ def test_date_range_echoed_not_applied(rel, site_cfg):
 def test_unknown_board_zero_rows(rel):
     rows = Q.tw_ip_report(rel, "no_such_board").toPandas()
     assert (rows["TW Ip"] == "0").all() and (rows["Not TW Ip"] == "0").all()
+
+
+def test_query_report_ods_sink(rel, site_cfg, tmp_path):
+    """query.py:129-135: one 'Query' sheet in Ptt_query_{date}.ods, header
+    row first, cell-identical to the report DataFrame."""
+    from datetime import datetime
+
+    from pttcrawler_spark.engine.ods import read_ods
+
+    board = site_cfg.board_name(0)
+    rep = Q.tw_ip_report(rel, board)
+    path = Q.write_report_ods(rep, str(tmp_path), datetime(2026, 8, 17))
+    assert path.endswith("Ptt_query_2026-08-17.ods")
+    book = read_ods(path)
+    assert list(book) == ["Query"]
+    rows = book["Query"]
+    assert rows[0] == Q.HEADER
+    expect = [[row[c] for c in rep.columns] for row in rep.collect()]
+    assert rows[1:] == expect
