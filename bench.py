@@ -108,8 +108,13 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
     heap_gb = int("".join(filter(str.isdigit,
                                  os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                                 "8g"))) or 8)
+    metered = os.environ.get("SPARK_GRAFT_TASK_METRICS") == "1"
     spark = get_spark(cores, app_name=f"crawl_bench_{cores}",
                       extra_conf={
+                          # task-metric sampling reads the UI REST API
+                          # (engine/taskmetrics); port 0 = any free port
+                          **({"spark.ui.enabled": "true",
+                              "spark.ui.port": "0"} if metered else {}),
                           "spark.sql.files.maxPartitionBytes":
                           str(16 * 1024 * 1024),
                           # AlwaysPreTouch: commit+zero the heap at JVM
@@ -156,6 +161,15 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
         # are reported.
         rates = sorted(b["fetched"] / b["wall_s"] for b in steady if b["wall_s"] > 0)
         median = rates[len(rates) // 2] if rates else 0.0
+        # steady-window task-metric summary: where the cores' time actually
+        # went (utilization / cpu / gc) — the per-level scaling evidence
+        steady_tm = None
+        tms = [b.get("task_metrics") for b in steady]
+        if tms and all(t is not None for t in tms):
+            from pttcrawler_spark.engine import taskmetrics as TM
+            agg = {k: sum(t[k] for t in tms) for k in tms[0]}
+            steady_tm = TM.summarize(
+                agg, cores, sum(b["wall_s"] for b in steady))
         return {
             "cores": cores,
             "urls_fetched": n_fetched,
@@ -164,6 +178,7 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
             "sustained_urls_per_sec": round(sustained, 2),
             "median_batch_urls_per_sec": round(median, 2),
             "batches": res.final_batch + 1,
+            **({"steady_task_metrics": steady_tm} if steady_tm else {}),
             "batch_stats": res.batch_stats,
         }
     finally:
@@ -184,6 +199,9 @@ def _run_worker(cores: int, site: dict, corpus_path: str) -> dict:
     # fits comfortably in a single cleaner interval; steady-state block
     # cleanup is covered by the explicit unpersists in the crawl loop.
     env.setdefault("SPARK_GRAFT_GC_INTERVAL", "600s")
+    # per-batch task-metric deltas (engine/taskmetrics): utilization/cpu/gc
+    # evidence per level; sampling cost is one localhost REST GET per batch
+    env.setdefault("SPARK_GRAFT_TASK_METRICS", "1")
     try:
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-worker",

@@ -53,6 +53,7 @@ from ..functions import parse as FP
 from ..functions import url as FU
 from ..operators import politeness as POL
 from . import state as ST
+from . import taskmetrics as TM
 from . import verify as V
 
 _DEBUG_TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
@@ -240,6 +241,7 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
     n_fetched_total = 0
     batches_run = 0
     batch_stats: list[dict] = []
+    tm_before = TM.sample(spark) if TM.ENABLED else None
     while batches_run < cfg.max_batches:
         batches_run += 1
         batch_id += 1
@@ -567,6 +569,12 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
             "article": kc.get("article", (0, 0))[0] - kc.get("article", (0, 0))[1],
             "wall_s": round(time.perf_counter() - t_batch, 3),
         }
+        if tm_before is not None:
+            tm_after = TM.sample(spark)
+            d = TM.delta(tm_before, tm_after)
+            if d is not None:
+                stats["task_metrics"] = d
+                tm_before = tm_after
         batch_stats.append(stats)
         n_fetched_total += n_rows
         fetched.unpersist()
