@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.seq import with_global_seq
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -260,18 +262,38 @@ def w5_version_rotation(spark, sf_dir):
 
 
 def w6_fetch_priority(spark, sf_dir):
-    """W6: user queue order (login_times asc, id asc), crawler/user.py:157-158."""
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return (t(spark, sf_dir, "customer")
-            .withColumn("fetch_rank", F.row_number().over(w))
+    """W6: user queue order (login_times asc, id asc), crawler/user.py:157-158.
+    Scale-safe global rank (operators/seq) — no single-partition window."""
+    return (with_global_seq(t(spark, sf_dir, "customer"),
+                            [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+                            "fetch_rank")
             .select("c_custkey", F.round("c_acctbal", 2).alias("bal"), "fetch_rank"))
 
 
+def w7_asn_queue(spark, sf_dir):
+    """W7: the ASN crawler's db-input queue — ORDER BY IpAsn.asn (SQLite asc,
+    NULLs first) with insertion-id tiebreak, flushed every 100 rows
+    (crawler/asn.py:34-37,60-63). asn-analog: NULL for un-enriched rows
+    (negative acctbal), else mktsegment. Scale-safe global rank."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment")).alias("asn"))
+    return (with_global_seq(
+                cust,
+                [F.col("asn").asc_nulls_first(), F.col("c_custkey").asc()],
+                "queue_pos")
+            .select("c_custkey", "asn", "queue_pos",
+                    F.floor((F.col("queue_pos") - 1) / 100)
+                    .cast("bigint").alias("flush_no")))
+
+
 def w8_export_order(spark, sf_dir):
-    """W8: export ordered by post_datetime, export.py:59-60."""
-    w = Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-    return (t(spark, sf_dir, "orders")
-            .withColumn("pos", F.row_number().over(w))
+    """W8: export ordered by post_datetime, export.py:59-60. Scale-safe
+    global rank (operators/seq) — no single-partition window."""
+    return (with_global_seq(t(spark, sf_dir, "orders"),
+                            [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+                            "pos")
             .select("o_orderkey",
                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
                     "pos"))
@@ -678,11 +700,13 @@ def export_article_sheet(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     nat = t(spark, sf_dir, "nation")
-    w = Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-    return (orders
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-            .withColumn("row_no", F.row_number().over(w))
+    joined = (orders
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey))
+    return (with_global_seq(
+                joined,
+                [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+                "row_no")
             .select(F.col("o_orderkey").alias("article_id"),
                     F.col("c_name").alias("author"),
                     F.col("n_name").alias("board"),
@@ -947,6 +971,19 @@ ORACLE_SQL: dict[str, str] = {
         SELECT c_custkey, round(c_acctbal, 2) AS bal,
                row_number() OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS fetch_rank
         FROM customer""",
+    "w7_asn_queue": """
+        WITH q AS (
+          SELECT c_custkey,
+                 CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS asn
+          FROM customer)
+        SELECT c_custkey, asn,
+               CAST(row_number() OVER
+                    (ORDER BY asn ASC NULLS FIRST, c_custkey ASC) AS BIGINT)
+                 AS queue_pos,
+               CAST(floor((row_number() OVER
+                    (ORDER BY asn ASC NULLS FIRST, c_custkey ASC) - 1) / 100)
+                 AS BIGINT) AS flush_no
+        FROM q""",
     "w8_export_order": """
         SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
                row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC) AS pos
@@ -1281,6 +1318,7 @@ def queries():
         "w4_floor_enumerate": w4_floor_enumerate,
         "w5_version_rotation": w5_version_rotation,
         "w6_fetch_priority": w6_fetch_priority,
+        "w7_asn_queue": w7_asn_queue,
         "w8_export_order": w8_export_order,
         "f1_last_page_regex": f1_last_page_regex,
         "f2_web_id_roundtrip": f2_web_id_roundtrip,
