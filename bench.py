@@ -164,12 +164,14 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
         # steady-window task-metric summary: where the cores' time actually
         # went (utilization / cpu / gc) — the per-level scaling evidence
         steady_tm = None
-        tms = [b.get("task_metrics") for b in steady]
-        if tms and all(t is not None for t in tms):
+        metered = [b for b in steady if b.get("task_metrics")]
+        if metered:
             from pttcrawler_spark.engine import taskmetrics as TM
+            tms = [b["task_metrics"] for b in metered]
             agg = {k: sum(t[k] for t in tms) for k in tms[0]}
             steady_tm = TM.summarize(
-                agg, cores, sum(b["wall_s"] for b in steady))
+                agg, cores, sum(b["wall_s"] for b in metered))
+            steady_tm["metered_batches"] = f"{len(metered)}/{len(steady)}"
         return {
             "cores": cores,
             "urls_fetched": n_fetched,

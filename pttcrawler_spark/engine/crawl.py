@@ -569,11 +569,14 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
             "article": kc.get("article", (0, 0))[0] - kc.get("article", (0, 0))[1],
             "wall_s": round(time.perf_counter() - t_batch, 3),
         }
-        if tm_before is not None:
+        if TM.ENABLED:
             tm_after = TM.sample(spark)
             d = TM.delta(tm_before, tm_after)
             if d is not None:
                 stats["task_metrics"] = d
+            # re-arm even when this batch's delta was lost (e.g. the UI
+            # wasn't up for the baseline sample) so later batches meter
+            if tm_after is not None:
                 tm_before = tm_after
         batch_stats.append(stats)
         n_fetched_total += n_rows
