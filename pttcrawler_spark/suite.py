@@ -656,6 +656,39 @@ def text_top_tokens(spark, sf_dir):
             .where(F.col("rank") <= 10))
 
 
+def text_pii_scrub(spark, sf_dir):
+    """Training-data PII redaction (C4-style cleanup): email + intl-phone
+    patterns replaced JVM-side with typed placeholders — no Python in the
+    row path. The synthetic corpus carries no PII, so a deterministic
+    contact-line suffix is appended first; the scrub then provably removes
+    it (removed_chars > 0 for every row)."""
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel +886-912-345-678"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                         "<EMAIL>"),
+        r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{3}", "<PHONE>")
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", F.md5(scrubbed).alias("scrub_md5"),
+                    (F.length(raw) - F.length(scrubbed))
+                    .cast("bigint").alias("removed_chars")))
+
+
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signal: the fraction of a document's tokens
+    taken by its single most frequent token (high ⇒ templated/spammy text —
+    a standard pre-training quality gate). Two partial-agg passes keyed by
+    doc_id; no window, no shuffle beyond the groupBys."""
+    words = (t(spark, sf_dir, "documents")
+             .select("doc_id", F.explode(_words(F.col("text"))).alias("w")))
+    per_word = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return (per_word.groupBy("doc_id")
+            .agg(F.round(F.max("c") / F.sum("c"), 4).alias("rep_ratio"),
+                 F.sum("c").cast("bigint").alias("n_tokens")))
+
+
 # --- remaining SURVEY §2 operators -------------------------------------------
 def j4_enrich_semi(spark, sf_dir):
     """J4: push ⋈ ip_asn + semi-filter on history ids, query.py:107-109 —
@@ -1134,6 +1167,32 @@ ORACLE_SQL: dict[str, str] = {
     "text_fingerprint": """
         SELECT doc_id, md5(lower(regexp_replace(trim(text), '(\\s)+', ' ', 'g')))
                AS fingerprint FROM documents""",
+    "text_pii_scrub": """
+        WITH raw AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com tel +886-912-345-678' AS r
+          FROM documents),
+        s AS (
+          SELECT doc_id, r,
+                 regexp_replace(
+                   regexp_replace(r,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{3}', '<PHONE>', 'g')
+                 AS sc
+          FROM raw)
+        SELECT doc_id, md5(sc) AS scrub_md5,
+               CAST(length(r) - length(sc) AS BIGINT) AS removed_chars
+        FROM s""",
+    "text_repetition": """
+        WITH words AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents),
+        pw AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2)
+        SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS rep_ratio,
+               CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM pw GROUP BY doc_id""",
     "text_top_tokens": """
         SELECT token, n, rank FROM (
           SELECT token, count(*) AS n,
@@ -1342,6 +1401,8 @@ def queries():
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
         "text_fingerprint": text_fingerprint,
+        "text_pii_scrub": text_pii_scrub,
+        "text_repetition": text_repetition,
         "text_top_tokens": text_top_tokens,
         "stream_tumbling_agg": stream_tumbling_agg,
         "stream_sessionize": stream_sessionize,
