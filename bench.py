@@ -187,7 +187,8 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def _run_worker(cores: int, site: dict, corpus_path: str) -> dict:
+def _run_worker(cores: int, site: dict, corpus_path: str,
+                pin: bool = True) -> dict:
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         path = f.name
     env = dict(os.environ)
@@ -204,12 +205,21 @@ def _run_worker(cores: int, site: dict, corpus_path: str) -> dict:
     # per-batch task-metric deltas (engine/taskmetrics): utilization/cpu/gc
     # evidence per level; sampling cost is one localhost REST GET per batch
     env.setdefault("SPARK_GRAFT_TASK_METRICS", "1")
+    # CPU QUOTA, not thread count: an unpinned local[2] worker really uses
+    # ~4-6 cores (2 task threads + 2 concurrent Python pandas-UDF workers +
+    # GC/commit threads), overstating the low-core baseline and deflating
+    # every N→4N ratio. Pinning the whole process tree to exactly N cores is
+    # the local-mode analog of an executor cgroup on YARN/k8s: "N executors"
+    # means N cores of total quota, helpers included. Java 17 + Python both
+    # inherit the affinity mask.
+    prefix = (["taskset", "-c", f"0-{cores - 1}"]
+              if pin and shutil.which("taskset") else [])
     try:
         subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-worker",
-             "--cores", str(cores), "--corpus", corpus_path,
-             "--site", json.dumps(site), "--out", path],
-            check=True, cwd=REPO, timeout=3600, env=env,
+            prefix + [sys.executable, os.path.abspath(__file__), "--crawl-worker",
+                      "--cores", str(cores), "--corpus", corpus_path,
+                      "--site", json.dumps(site), "--out", path],
+            check=True, cwd=REPO, timeout=7200, env=env,
         )
         with open(path) as fh:
             return json.load(fh)
@@ -306,6 +316,7 @@ def scaling_bench(spark, levels=SCALING_LEVELS) -> dict:
         # measured ~30% slower sustained with it alive)
         spark.stop()
         out: dict = {"site": SITE_SCALING,
+                     "pinned": bool(shutil.which("taskset")),
                      "host_mem_stream_GBps": mem_stream_bench(levels),
                      "host_cpu_sustained_Mops": cpu_sustained_bench(levels)}
         for cores in levels:
