@@ -782,6 +782,39 @@ def img_phash_dedup(spark, sf_dir):
             .where(F.col("n_copies") >= 2))
 
 
+def img_phash_near_dup(spark, sf_dir):
+    """Image NEAR-dup with a scale path: LSH banding over the 64-bit
+    perceptual hash (8 bands × 8 bits — band-bucket joins prune the O(n²)
+    pair space; pigeonhole guarantees recall for hamming < 8, probabilistic
+    above), then exact hamming verify (bit_count(xor) ≤ 27) on candidates
+    only. The DuckDB oracle replicates the banding over the same phash
+    fixture (the md5-band parity pattern of dedup_minhash_lsh), so candidate
+    generation AND verification are cross-checked."""
+    from .functions import image_ops as IMG
+    imgs = IMG.build_images_df(_doc_image_ids(spark, sf_dir, modulo=40))
+    ph = (IMG.phash_col(imgs).select("image_id", "phash64").distinct())
+    bands = ph.select(
+        "image_id", "phash64",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     F.shiftright(F.col("phash64"), 8 * b)
+                     .bitwiseAND(F.lit(255)).alias("bv"))
+            for b in range(8)])).alias("band")
+    ).select("image_id", "phash64", "band.b", "band.bv")
+    left = bands.select(F.col("image_id").alias("i1"),
+                        F.col("phash64").alias("p1"), "b", "bv")
+    right = bands.select(F.col("image_id").alias("i2"),
+                         F.col("phash64").alias("p2"), "b", "bv")
+    cand = (left.join(right, ["b", "bv"])
+            .where(F.col("i1") < F.col("i2"))
+            .select("i1", "i2", "p1", "p2").distinct())
+    return (cand.select(
+        "i1", "i2",
+        F.bit_count(F.col("p1").bitwiseXOR(F.col("p2")))
+        .cast("int").alias("hamming"))
+        .where(F.col("hamming") <= 27))
+
+
 # F6/F7 raw-page parse suite entries: a fixed 192-slot synthetic site
 # (normal / transcription / broken page mix) rendered ON EXECUTORS, parsed by
 # the distributed Column-expression parser, checked against the pure-Python
@@ -1320,6 +1353,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT phash64, count(*) AS n_copies
         FROM ids JOIN ph USING (image_id)
         GROUP BY phash64 HAVING count(*) >= 2""",
+    "img_phash_near_dup": """
+        WITH ph AS (SELECT image_id, phash64
+                    FROM '/root/repo/tests/fixtures/img_phash40.parquet'),
+        ids AS (SELECT DISTINCT cast(doc_id % 40 AS varchar) AS image_id
+                FROM documents),
+        imgs AS (SELECT image_id, phash64 FROM ids JOIN ph USING (image_id)),
+        bands AS (SELECT image_id, phash64, bb.b,
+                         (phash64 >> (8 * bb.b)) & 255 AS bv
+                  FROM imgs CROSS JOIN
+                       (SELECT unnest([0,1,2,3,4,5,6,7]) AS b) bb),
+        cand AS (SELECT DISTINCT a.image_id AS i1, c.image_id AS i2,
+                        a.phash64 AS p1, c.phash64 AS p2
+                 FROM bands a JOIN bands c
+                   ON a.b = c.b AND a.bv = c.bv AND a.image_id < c.image_id)
+        SELECT i1, i2, CAST(bit_count(xor(p1, p2)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(p1, p2)) <= 27""",
     # frame_sample grid: fps=10, 12 frames, every_ms=500 → step 5 → frames
     # {0,5,10} at media time {0,500,1000} ms for EVERY video — the sampling
     # arithmetic is the oracle; frame pixel parity is pytest-golden-checked.
@@ -1412,6 +1461,7 @@ def queries():
         "img_decode_stats": img_decode_stats,
         "img_resize_thumb": img_resize_thumb,
         "img_phash_dedup": img_phash_dedup,
+        "img_phash_near_dup": img_phash_near_dup,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,
