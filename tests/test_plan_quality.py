@@ -71,6 +71,15 @@ def test_minhash_lsh_no_cartesian(spark):
         "BroadcastHashJoin" in plan
 
 
+def test_phash_banding_no_cartesian(spark):
+    # img_phash_near_dup: candidates come from an equi-join on (band, value),
+    # never an all-pairs product — the whole point of the banding scale path
+    plan = _plan(spark, "img_phash_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
+
+
 def _single_partition_exchanges(plan: str) -> list[str]:
     """Lines with a SinglePartition Exchange, excluding with_global_seq's
     offsets prefix-sum (bounded at num_partitions rows — identified by the
