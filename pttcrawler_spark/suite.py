@@ -758,17 +758,23 @@ def _doc_image_ids(spark, sf_dir, modulo=None):
 
 
 def img_decode_stats(spark, sf_dir):
-    """Multimodal feature-extract: deterministic image table from doc ids →
-    decode → channel stats via mapInPandas (functions/image_ops.py)."""
+    """Multimodal feature-extract: deterministic image table from doc ids
+    (folded mod 40, matching the fixture oracle) → decode → channel stats via
+    mapInPandas (functions/image_ops.py). Oracle: independent driver-side
+    numpy recompute (tests/fixtures/gen_img_stats40.py)."""
     from .functions import image_ops as IMG
-    return IMG.decode_stats(IMG.build_images_df(_doc_image_ids(spark, sf_dir)))
+    return IMG.decode_stats(
+        IMG.build_images_df(_doc_image_ids(spark, sf_dir, modulo=40)))
 
 
 def img_resize_thumb(spark, sf_dir):
     """Multimodal thumbnail stage: decode → 8×8 NN-resize → re-encode;
-    bytes dropped from the result (driver hashes values)."""
+    bytes dropped from the result (driver hashes values). Oracle: inline-math
+    NN-resize + phash fixture (tests/fixtures/gen_img_stats40.py)."""
     from .functions import image_ops as IMG
-    return (IMG.resize(IMG.build_images_df(_doc_image_ids(spark, sf_dir)), 8, 8)
+    return (IMG.resize(
+                IMG.build_images_df(_doc_image_ids(spark, sf_dir, modulo=40)),
+                8, 8)
             .select("image_id", "w", "h", "fmt", "thumb_phash"))
 
 
@@ -1346,6 +1352,18 @@ ORACLE_SQL: dict[str, str] = {
     # Oracle side-table: 40-row parquet of (image_id, phash64) computed
     # driver-side with pure numpy (tests/fixtures/gen_img_phash40.py) — the
     # independent twin of the distributed decode→phash mapInPandas path.
+    "img_decode_stats": """
+        WITH fx AS (SELECT * FROM '/root/repo/tests/fixtures/img_stats40.parquet'),
+        ids AS (SELECT cast(doc_id % 40 AS varchar) AS image_id FROM documents)
+        SELECT image_id, mean_r, mean_g, mean_b, std_gray, aspect,
+               TRUE AS decode_ok
+        FROM ids JOIN fx USING (image_id)""",
+    "img_resize_thumb": """
+        WITH fx AS (SELECT * FROM '/root/repo/tests/fixtures/img_stats40.parquet'),
+        ids AS (SELECT cast(doc_id % 40 AS varchar) AS image_id FROM documents)
+        SELECT image_id, CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
+               'png' AS fmt, thumb_phash
+        FROM ids JOIN fx USING (image_id)""",
     "img_phash_dedup": """
         WITH ph AS (SELECT image_id, phash64
                     FROM '/root/repo/tests/fixtures/img_phash40.parquet'),
