@@ -63,7 +63,11 @@ SITE_DEFAULT = {"n_boards": 128, "pages_per_board": 3, "articles_per_page": 64,
 # scaling site: wide pages (~172k-article steady batches) so executor-parallel
 # compute dominates the per-batch fixed cost — the sandbox stand-in for
 # production batches of 10^6-10^7 URLs where fixed cost is <1% (BASELINE.md)
-SITE_SCALING = {"n_boards": 128, "pages_per_board": 4,
+# 5 pages/board → 7 identical full-size drain batches: JIT/codegen warmup
+# keeps improving through the first ~2 minutes of hot loop, so a short run
+# taxes the FAST level proportionally more; a longer steady window (first
+# full batch dropped, 6 metered) makes the per-level medians comparable
+SITE_SCALING = {"n_boards": 128, "pages_per_board": 5,
                 "articles_per_page": 1536, "img_w": 64, "img_h": 64}
 SCALING_LEVELS = (2, 8, 32)
 
@@ -192,10 +196,15 @@ def _run_worker(cores: int, site: dict, corpus_path: str,
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         path = f.name
     env = dict(os.environ)
-    # the 32-thread level on the larger scaling corpus exhausts an 8g heap
-    # (GCLocker retry aborts in Arrow/parquet allocation paths) — workers
-    # get a heap sized for the worst level; the box has 125 GiB
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # heap ∝ cores + a fixed driver allowance: "4N executors" means 4N x the
+    # executor MEMORY as well as the CPU — a flat heap hands the small level
+    # 12 GB/core vs 0.75 GB/core at 32, inflating the low-core baseline
+    # (less GC) and deflating every N→4N ratio. 1.5 GB/core matches a
+    # typical executor spec; the 4 GB base is the driver's own share (a real
+    # cluster's driver is a separate fixed-size process). The 32-thread
+    # level needs >8 GB regardless (GCLocker retry aborts in Arrow/parquet
+    # allocation paths under tiny heaps); the box has 125 GiB.
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{4 + (3 * cores) // 2}g")
     # a forced periodic full GC is a stop-the-world pause whose cost is
     # core-count-independent — inside a ~4 min measured run it lands as
     # random 5-15 s stalls that swamp the level-to-level signal. One run

@@ -371,18 +371,25 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
         ph.mark("discover(lazy)")
 
         # --- article pages → parsed outputs ---------------------------------
+        # SINGLE-PASS parse: the multi-KB html column is the batch's dominant
+        # byte/CPU stream; articles+pushes+errors+verify-caption are all
+        # extracted in ONE scan whose narrow result is persisted (materialized
+        # below, before the parallel commit writes), so each downstream table
+        # write reads parsed fields, never raw pages. Measured at local[32]:
+        # the split-consumer version re-streamed the cached html 3-4x/batch.
         tables: dict = {}
         art = ok.where(F.col("kind") == "article").withColumn(
             "web_id", FP.web_id_of(F.col("url")))
+        parsed_all = FP.parse_article_pages(
+            art.select("web_id", "board", "page_index", "dom_pos", "url",
+                       F.col("_html").alias("html"))).persist()
         # F7: unparseable pages (PostException analog) become status rows
         # in parse_errors; everything downstream sees only parse-ok pages
         # (the reference's per-article try/except skip,
         # crawler/article.py:472-483)
-        err = FP.parse_error(F.col("_html"))
-        art_ok = art.where(err.isNull())
-        parsed_articles = FP.parse_articles(
-            art_ok.select("web_id", "board", "page_index", "dom_pos",
-                          F.col("_html").alias("html"))).drop("parse_error")
+        parse_errors = parsed_all.where(F.col("parse_error").isNotNull()).select(
+            "web_id", "board", "url", F.col("parse_error").alias("error"))
+        parsed_ok = parsed_all.where(F.col("parse_error").isNull())
         # P4: start-date cutoff + early stop (crawler/article.py:486-503).
         # Unparseable dates drop silently; a parseable date BELOW the cutoff
         # both drops the article and stops that board's crawl at this page
@@ -391,21 +398,25 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
         if cfg.start_date is not None:
             dt_ok = F.col("post_datetime").isNotNull()
             cut = F.lit(cfg.start_date)
-            stop_pages = (parsed_articles
+            stop_pages = (parsed_ok
                           .where(dt_ok & (F.col("post_datetime") < cut))
                           .groupBy("board")
                           .agg(F.min("page_index").alias("_stop_page")))
-            parsed_articles = parsed_articles.where(
-                dt_ok & (F.col("post_datetime") >= cut))
-            kept = parsed_articles.select("web_id")
-            art_ok = art_ok.join(kept, "web_id", "left_semi")
-        parsed_pushes = FP.parse_pushes(
-            art_ok.select("web_id", F.col("_html").alias("html")))
-        images = art_ok.where(F.col("image_bytes").isNotNull()).select(
-            F.col("web_id").alias("image_id"), F.col("image_bytes").alias("bytes"),
-            "w", "h", "fmt", "caption", "phash")
-        parse_errors = art.where(err.isNotNull()).select(
-            "web_id", "board", "url", err.alias("error"))
+            parsed_ok = parsed_ok.where(dt_ok & (F.col("post_datetime") >= cut))
+        parsed_articles = parsed_ok.drop(
+            "parse_error", "pushes", "expected_caption", "url")
+        parsed_pushes = FP.pushes_from_parsed(parsed_ok)
+        # images/verify read the binary column from the fetched cache; the
+        # parse-ok + date-kept row set arrives as a BROADCAST join against
+        # the narrow parsed frame (web_ids + caption), not an html re-scan
+        kept = F.broadcast(parsed_ok.select(
+            F.col("web_id").alias("image_id"), "expected_caption"))
+        art_img = (art.where(F.col("image_bytes").isNotNull())
+                   .select(F.col("web_id").alias("image_id"),
+                           F.col("image_bytes").alias("bytes"),
+                           "w", "h", "fmt", "caption", "phash")
+                   .join(kept, "image_id"))
+        images = art_img.drop("expected_caption")
         tables["parsed_articles"] = parsed_articles
         tables["parsed_pushes"] = parsed_pushes
         tables["images"] = images
@@ -413,15 +424,7 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
         if cfg.verify_payload:
             # north-rule per-row invariant: decode + PSNR vs reference
             # render + phash recompute + caption==title, Arrow-batched
-            expected = F.coalesce(
-                F.try_element_at(FP.meta_values(F.col("_html")), F.lit(2)), F.lit(""))
-            ver = V.verify_payloads(
-                art_ok.where(F.col("image_bytes").isNotNull())
-                .select(F.col("web_id").alias("image_id"),
-                        F.col("image_bytes").alias("bytes"), "w", "h", "fmt",
-                        "caption", "phash",
-                        expected.alias("expected_caption")))
-            tables["payload_verify"] = ver
+            tables["payload_verify"] = V.verify_payloads(art_img)
         article_index = entries.select(
             F.col("entry_web_id").alias("web_id"), "board",
             F.col("page_index").alias("index"))
@@ -533,6 +536,13 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
                  .alias("n_fail"))
             .collect())}
         ph.mark("materialize fetched (kind counts)")
+        # materialize the single-pass parse BEFORE the parallel commit
+        # writes for the same reason as above: concurrent jobs over a lazy
+        # persist race to compute missing partitions, re-running the parse
+        # once per consumer. One count = one parse pass, then every write
+        # job reads the narrow cached result.
+        parsed_all.count()
+        ph.mark("materialize parsed (single-pass)")
         # lineage break WITHOUT a parquet round-trip: the checkpointed
         # frontier/politeness live in executor block storage; the next batch
         # plans against a compact leaf, and plan depth stays O(1) in batch
@@ -581,6 +591,7 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
         batch_stats.append(stats)
         n_fetched_total += n_rows
         fetched.unpersist()
+        parsed_all.unpersist()
         new_rows.unpersist()
         marked.unpersist()
 

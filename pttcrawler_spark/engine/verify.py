@@ -8,7 +8,10 @@ an Arrow batch function, the same shape a real codec binding would have.
 For every fetched article payload this stage:
   - decodes ``bytes`` (vectorized batch decode),
   - recomputes the perceptual hash from the decoded pixels and compares it
-    to the carried ``phash`` metadata,
+    to the carried ``phash`` metadata (exact for lossless; hamming <= 2 for
+    lossy — quantization legitimately flips borderline phash bits, measured
+    max 2/64 at the codec's q-step, and a perceptual hash is by construction
+    compared under a small hamming budget),
   - re-renders the reference pixels for ``image_id`` via the injected
     ``reference_render`` callable and scores PSNR against the decode
     (>= 40 dB passes for lossy formats; lossless must be exact),
@@ -33,6 +36,7 @@ VERIFY_DDL = (
     "phash_ok boolean, caption_ok boolean"
 )
 PSNR_GATE_DB = 40.0
+PHASH_LOSSY_HAMMING = 2
 
 
 def _verify_batch(pdf: pd.DataFrame,
@@ -63,7 +67,9 @@ def _verify_batch(pdf: pd.DataFrame,
         pixel_ok[i] = bool(
             np.array_equal(ref, px) if fmts[i] == "png" else p >= PSNR_GATE_DB
         )
-        phash_ok[i] = (not pd.isna(phashes[i])) and img.phash64(px) == int(phashes[i])
+        if not pd.isna(phashes[i]):
+            dist = img.hamming64(img.phash64(px), int(phashes[i]))
+            phash_ok[i] = dist == 0 if fmts[i] == "png" else dist <= PHASH_LOSSY_HAMMING
     return pd.DataFrame({
         "image_id": pdf["image_id"],
         "fmt": pdf["fmt"],

@@ -219,14 +219,9 @@ def parse_index_pages(fetched: DataFrame) -> DataFrame:
     )
 
 
-def parse_articles(fetched: DataFrame) -> DataFrame:
-    """Article pages → PARSED_ARTICLE-shaped rows (one per page).
-
-    Deliberately excludes the binary payload columns: those land in the
-    ``images`` table only, so the multi-KB image bytes are written (and
-    shuffled) exactly once per fetch, not once per consuming table.
-    """
-    html = F.col("html")
+def _article_exprs(html: Column) -> list[Column]:
+    """The per-article extraction expressions (aliased), shared by
+    :func:`parse_articles` and :func:`parse_article_pages`."""
     metas = meta_values(html)
     has_metas = F.size(metas) > 0
     # F7: no metalines → transcription fallback (author/date from the
@@ -245,11 +240,7 @@ def parse_articles(fetched: DataFrame) -> DataFrame:
         .otherwise(F.coalesce(
             F.date_format(trans_datetime(html), "EEE MMM dd HH:mm:ss yyyy"),
             F.lit("")))
-    return fetched.select(
-        F.col("web_id"),
-        F.col("board"),
-        F.col("page_index"),
-        F.col("dom_pos"),
+    return [
         author_username(author_raw).alias("author_username"),
         author_nickname(author_raw).alias("author_nickname"),
         F.when(has_metas, F.coalesce(F.try_element_at(metas, F.lit(2)), F.lit("")))
@@ -259,6 +250,22 @@ def parse_articles(fetched: DataFrame) -> DataFrame:
         post_ip(html).alias("post_ip"),
         content_cleaned(html, F.col("web_id")).alias("content"),
         parse_error(html).alias("parse_error"),
+    ]
+
+
+def parse_articles(fetched: DataFrame) -> DataFrame:
+    """Article pages → PARSED_ARTICLE-shaped rows (one per page).
+
+    Deliberately excludes the binary payload columns: those land in the
+    ``images`` table only, so the multi-KB image bytes are written (and
+    shuffled) exactly once per fetch, not once per consuming table.
+    """
+    return fetched.select(
+        F.col("web_id"),
+        F.col("board"),
+        F.col("page_index"),
+        F.col("dom_pos"),
+        *_article_exprs(F.col("html")),
     )
 
 
@@ -277,4 +284,63 @@ def parse_pushes(fetched: DataFrame) -> DataFrame:
         f["push_ipdatetime"].alias("push_ipdatetime"),  # raw, for the S9 doc
         push_ip(f["push_ipdatetime"]).alias("push_ip"),
         push_datetime(f["push_ipdatetime"]).alias("push_datetime"),
+    )
+
+
+def parse_article_pages(fetched: DataFrame) -> DataFrame:
+    """Single-pass article parse: one scan of ``html`` yields the article
+    fields (= :func:`parse_articles`), the push divs as an ``array<struct>``
+    column (``pushes``; explode later with :func:`pushes_from_parsed`), the
+    expected caption (metas[2], the verify stage's reference), and the F7
+    ``parse_error`` column.
+
+    Why: in the crawl loop the multi-KB html column is the dominant byte/CPU
+    stream of a batch. Parsing articles, pushes, errors, and the verify
+    caption as FOUR separate consumers re-reads (and partially re-regexes)
+    that column once per consumer; this function makes it one pass whose
+    narrow result is persisted, so every downstream table write scans parsed
+    fields instead of raw pages. Same extraction semantics, same citations as
+    the split functions (crawler/article.py:119-382).
+    """
+    html = F.col("html")
+    carry = [c for c in ("url",) if c in fetched.columns]
+    pushes = F.transform(
+        push_divs(html),
+        lambda d: F.struct(
+            _trim(F.regexp_extract(d, RE_PUSH_TAG, 1)).alias("push_tag"),
+            _trim(F.regexp_extract(d, RE_PUSH_USERID, 1)).alias("push_username"),
+            _trim(F.substring(F.regexp_extract(d, RE_PUSH_CONTENT, 1),
+                              2, 0x7FFFFFFF)).alias("push_content"),
+            _trim(F.regexp_extract(d, RE_PUSH_IPDATETIME, 1)).alias("push_ipdatetime"),
+        ),
+    )
+    expected_caption = F.coalesce(
+        F.try_element_at(meta_values(html), F.lit(2)), F.lit(""))
+    return fetched.select(
+        F.col("web_id"),
+        F.col("board"),
+        F.col("page_index"),
+        F.col("dom_pos"),
+        *_article_exprs(html),
+        pushes.alias("pushes"),
+        expected_caption.alias("expected_caption"),
+        *[F.col(c) for c in carry],
+    )
+
+
+def pushes_from_parsed(parsed: DataFrame) -> DataFrame:
+    """Explode :func:`parse_article_pages`'s ``pushes`` column into
+    PARSED_PUSH rows — the cheap (short-string) half of push parsing."""
+    exploded = parsed.select(
+        "web_id", F.posexplode("pushes").alias("pos", "p"))
+    ipdt = F.col("p.push_ipdatetime")
+    return exploded.select(
+        "web_id",
+        (F.col("pos") + 1).cast("int").alias("floor"),
+        F.col("p.push_tag").alias("push_tag"),
+        F.col("p.push_username").alias("push_username"),
+        F.col("p.push_content").alias("push_content"),
+        ipdt.alias("push_ipdatetime"),
+        push_ip(ipdt).alias("push_ip"),
+        push_datetime(ipdt).alias("push_datetime"),
     )
