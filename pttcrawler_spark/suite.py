@@ -512,6 +512,47 @@ def dedup_minhash_lsh(spark, sf_dir):
             .distinct())
 
 
+def dedup_cluster_cc(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (:func:`dedup_minhash_lsh`) — the step a production dedup pipeline
+    runs after pair generation, so each transitive cluster keeps exactly one
+    canonical document (pairwise keep-lowest breaks on chains A~B~C).
+
+    Iterative min-label propagation: label(v) = min(label(v), min over
+    neighbours' labels) to a fixed point; every round is one shuffle-on-key
+    join + groupBy, no driver-side data, and ``localCheckpoint`` truncates
+    the lineage per round. Rounds are O(cluster diameter) — LSH clusters are
+    shallow; at 10^10-doc scale swap the propagation body for
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce"), same loop shape, O(log n) rounds. The DuckDB oracle computes
+    the same components independently via WITH RECURSIVE transitive closure
+    over the identical pair set."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst"))).persist())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint())
+    for _ in range(30):                      # converges in O(diameter) rounds
+        nbr = (edges.join(labels, edges.src == labels.doc_id)
+               .groupBy("dst").agg(F.min("lab").alias("nlab")))
+        new = (labels.alias("l")
+               .join(nbr, F.col("l.doc_id") == nbr.dst, "left")
+               .select(F.col("l.doc_id").alias("doc_id"),
+                       F.least(F.col("l.lab"),
+                               F.coalesce("nlab", F.col("l.lab"))).alias("lab"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.lab") < F.col("o.lab")).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "lab")
+            .select("doc_id", F.col("lab").alias("cluster_id"), "cluster_size"))
+
+
 def text_simhash(spark, sf_dir):
     """64-bit SimHash fingerprint per document (near-dup sketch): per bit p,
     majority vote of bit p of md5(token) over distinct tokens. Emitted as a
@@ -620,6 +661,51 @@ def ann_ivf_label(spark, sf_dir):
             .where(F.col("rank") <= 5))
 
 
+_IVF_NPROBE = 2
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF MULTI-PROBE top-k: search the query's ``nprobe=2`` nearest
+    centroid cells (vs :func:`ann_ivf_label`'s single cell — the standard
+    recall knob of an IVF index), exact cosine re-rank inside the probed
+    cells only, global top-10. Scale shape: the probe set is a broadcast
+    2-row dim joined into the fact scan (partition-prunable when the
+    embedding table is partitioned/bucketed by label), so cost is
+    O(n/cells · nprobe), never a full scan."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    cent = (e.select("label", F.posexplode("v").alias("pos", "x"))
+            .groupBy("label", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("label")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                             lambda s: s.m).alias("cv")))
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def cosine(u, w_):
+        dot = F.aggregate(F.zip_with(u, w_, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        nu = F.sqrt(F.aggregate(F.transform(u, lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        nw = F.sqrt(F.aggregate(F.transform(w_, lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        return dot / (nu * nw)
+
+    probes = (cent.crossJoin(F.broadcast(q))
+              .select("label", cosine(F.col("cv"), F.col("qv")).alias("ccos"))
+              .orderBy(F.col("ccos").desc(), F.col("label").asc())
+              .limit(_IVF_NPROBE)
+              .select(F.col("label").alias("probe_label")))
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (e.join(F.broadcast(probes), e.label == F.col("probe_label"))
+            .where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", "label",
+                    F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10))
+
+
 # --- text analysis -------------------------------------------------------------
 def text_token_count(spark, sf_dir):
     """Whitespace token counting per document."""
@@ -687,6 +773,25 @@ def text_repetition(spark, sf_dir):
     return (per_word.groupBy("doc_id")
             .agg(F.round(F.max("c") / F.sum("c"), 4).alias("rep_ratio"),
                  F.sum("c").cast("bigint").alias("n_tokens")))
+
+
+def text_ngram_lm_score(spark, sf_dir):
+    """Unigram language-model quality score (the CCNet/Gopher perplexity
+    gate, unigram flavour): corpus token frequencies → per-document mean
+    -ln p(token); LOW = natural text, HIGH = rare-token noise. Two partial
+    aggregations plus one join keyed on token (the frequency table is tiny
+    relative to the corpus — broadcast-able at any scale); the corpus total
+    arrives as a broadcast 1-row dim, never a driver round-trip."""
+    words = (t(spark, sf_dir, "documents")
+             .select("doc_id", F.explode(_words(F.col("text"))).alias("w")))
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("tot"))
+    return (words.join(freq, "w")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.round(F.avg(-F.log(F.col("c") / F.col("tot"))), 4)
+                 .alias("lm_score"),
+                 F.count("*").cast("bigint").alias("n_tokens")))
 
 
 # --- remaining SURVEY §2 operators -------------------------------------------
@@ -819,6 +924,22 @@ def img_phash_near_dup(spark, sf_dir):
         F.bit_count(F.col("p1").bitwiseXOR(F.col("p2")))
         .cast("int").alias("hamming"))
         .where(F.col("hamming") <= 27))
+
+
+def img_dedup_bytes(spark, sf_dir):
+    """Exact image dedup at the BYTE level: md5 over the encoded binary
+    payload, hash-groupBy — the first (cheapest) gate of an image dedup
+    pipeline, catching mirrored/re-hosted copies before any decode; phash
+    (img_phash_dedup / img_phash_near_dup) handles re-encoded copies. Ids
+    folded mod 40 so byte-identical copies exist. Oracle: driver-side md5
+    over the same deterministic codec (tests/fixtures/gen_img_md5_40.py)."""
+    from .functions import image_ops as IMG
+    imgs = IMG.build_images_df(_doc_image_ids(spark, sf_dir, modulo=40))
+    return (imgs.select("image_id", F.md5(F.col("bytes")).alias("bytes_md5"))
+            .groupBy("bytes_md5")
+            .agg(F.min("image_id").alias("keeper_id"),
+                 F.count("*").alias("n_copies"))
+            .where(F.col("n_copies") >= 2))
 
 
 # F6/F7 raw-page parse suite entries: a fixed 192-slot synthetic site
@@ -1191,6 +1312,28 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id, label, cosine,
                row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
         FROM scored QUALIFY rank <= 5""",
+    "ann_ivf_topk": """
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> cast(x AS double)) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        expl AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+        cent AS (SELECT label, list(m ORDER BY pos) AS cv
+                 FROM (SELECT label, pos, avg(x) AS m FROM expl GROUP BY label, pos)
+                 GROUP BY label),
+        probes AS (SELECT label AS probe_label FROM cent, q
+                   ORDER BY list_dot_product(cv, qv) /
+                            (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                            DESC, label ASC LIMIT 2),
+        scored AS (
+          SELECT vec_id, label,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                       4) AS cosine
+          FROM e JOIN probes ON label = probe_label, q WHERE vec_id <> 0)
+        SELECT vec_id, label, cosine,
+               row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored QUALIFY rank <= 10""",
     "text_token_count": """
         SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
         FROM documents""",
@@ -1232,6 +1375,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS rep_ratio,
                CAST(sum(c) AS BIGINT) AS n_tokens
         FROM pw GROUP BY doc_id""",
+    "text_ngram_lm_score": """
+        WITH words AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents),
+        freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM freq)
+        SELECT doc_id,
+               round(avg(-ln(CAST(c AS DOUBLE) / tot)), 4) AS lm_score,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM words JOIN freq USING (w), tot
+        GROUP BY doc_id""",
     "text_top_tokens": """
         SELECT token, n, rank FROM (
           SELECT token, count(*) AS n,
@@ -1261,6 +1415,44 @@ ORACLE_SQL: dict[str, str] = {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+    # Independent connected-components: DuckDB recomputes the identical LSH
+    # pair set, then closes it transitively with WITH RECURSIVE (UNION dedups
+    # the worklist, so the closure terminates); Spark's iterative min-label
+    # propagation must land on the same (doc_id, min-reachable-id) map.
+    "dedup_cluster_cc": """
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0) + 1),
+                   i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                 )) AS sh
+          FROM documents),
+        mh AS (
+          SELECT doc_id,
+                 list_transform(range(0, 12), i ->
+                   list_aggregate(list_transform(sh, s ->
+                     md5(cast(i AS varchar) || ':' || s)), 'min')) AS m
+          FROM d WHERE len(sh) > 0),
+        bands AS (
+          SELECT doc_id, cast(j AS int) AS band,
+                 md5(array_to_string(m[j*3+1 : j*3+3], '|')) AS sig
+          FROM mh, range(0, 4) t(j)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM edges e JOIN reach r ON r.doc_id = e.src),
+        comp AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size
+        FROM comp c
+        JOIN (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY cluster_id) s USING (cluster_id)""",
     "text_simhash": """
         WITH h AS (
           SELECT doc_id,
@@ -1387,6 +1579,12 @@ ORACLE_SQL: dict[str, str] = {
                    ON a.b = c.b AND a.bv = c.bv AND a.image_id < c.image_id)
         SELECT i1, i2, CAST(bit_count(xor(p1, p2)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(p1, p2)) <= 27""",
+    "img_dedup_bytes": """
+        WITH fx AS (SELECT * FROM '/root/repo/tests/fixtures/img_md5_40.parquet'),
+        ids AS (SELECT cast(doc_id % 40 AS varchar) AS image_id FROM documents)
+        SELECT bytes_md5, min(image_id) AS keeper_id, count(*) AS n_copies
+        FROM ids JOIN fx USING (image_id)
+        GROUP BY bytes_md5 HAVING count(*) >= 2""",
     # frame_sample grid: fps=10, 12 frames, every_ms=500 → step 5 → frames
     # {0,5,10} at media time {0,500,1000} ms for EVERY video — the sampling
     # arithmetic is the oracle; frame pixel parity is pytest-golden-checked.
@@ -1457,6 +1655,7 @@ def queries():
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_cluster_cc": dedup_cluster_cc,
         "text_simhash": text_simhash,
         "text_langid": text_langid,
         "j4_enrich_semi": j4_enrich_semi,
@@ -1465,11 +1664,13 @@ def queries():
         "export_article_sheet": export_article_sheet,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_ivf_label": ann_ivf_label,
+        "ann_ivf_topk": ann_ivf_topk,
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
         "text_fingerprint": text_fingerprint,
         "text_pii_scrub": text_pii_scrub,
         "text_repetition": text_repetition,
+        "text_ngram_lm_score": text_ngram_lm_score,
         "text_top_tokens": text_top_tokens,
         "stream_tumbling_agg": stream_tumbling_agg,
         "stream_sessionize": stream_sessionize,
@@ -1480,6 +1681,7 @@ def queries():
         "img_resize_thumb": img_resize_thumb,
         "img_phash_dedup": img_phash_dedup,
         "img_phash_near_dup": img_phash_near_dup,
+        "img_dedup_bytes": img_dedup_bytes,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,

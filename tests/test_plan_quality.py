@@ -80,6 +80,21 @@ def test_phash_banding_no_cartesian(spark):
         "BroadcastHashJoin" in plan
 
 
+def test_ivf_topk_probes_broadcast(spark):
+    # ann_ivf_topk: the 2-row probe set reaches the fact scan as a broadcast
+    # join (cell pruning), and the only CartesianProduct-free query path
+    plan = _plan(spark, "ann_ivf_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_cc_no_cartesian(spark):
+    # connected components: every propagation round is an equi-join on
+    # doc_id — an all-pairs product would defeat the LSH pruning upstream
+    plan = _plan(spark, "dedup_cluster_cc")
+    assert "CartesianProduct" not in plan
+
+
 def _single_partition_exchanges(plan: str) -> list[str]:
     """Lines with a SinglePartition Exchange, excluding with_global_seq's
     offsets prefix-sum (bounded at num_partitions rows — identified by the
