@@ -518,39 +518,22 @@ def dedup_cluster_cc(spark, sf_dir):
     runs after pair generation, so each transitive cluster keeps exactly one
     canonical document (pairwise keep-lowest breaks on chains A~B~C).
 
-    Iterative min-label propagation: label(v) = min(label(v), min over
-    neighbours' labels) to a fixed point; every round is one shuffle-on-key
-    join + groupBy, no driver-side data, and ``localCheckpoint`` truncates
-    the lineage per round. Rounds are O(cluster diameter) — LSH clusters are
-    shallow; at 10^10-doc scale swap the propagation body for
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce"), same loop shape, O(log n) rounds. The DuckDB oracle computes
-    the same components independently via WITH RECURSIVE transitive closure
-    over the identical pair set."""
+    Components via ``operators/cc.connected_components`` — alternating
+    large-star/small-star contraction (Kiveris et al., "Connected Components
+    in MapReduce and Beyond"), O(log n) rounds of pure shuffle-on-key
+    joins/groupBys with per-round ``localCheckpoint`` lineage truncation; no
+    driver-side data, no cartesian (tests/test_plan_quality.py). The DuckDB
+    oracle computes the same components independently via WITH RECURSIVE
+    transitive closure over the identical pair set; operators-level parity
+    vs a union-find oracle is pinned by tests/test_cc.py."""
+    from .operators.cc import connected_components
+
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-             .unionByName(pairs.select(F.col("doc_b").alias("src"),
-                                       F.col("doc_a").alias("dst"))).persist())
-    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
-              .select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint())
-    for _ in range(30):                      # converges in O(diameter) rounds
-        nbr = (edges.join(labels, edges.src == labels.doc_id)
-               .groupBy("dst").agg(F.min("lab").alias("nlab")))
-        new = (labels.alias("l")
-               .join(nbr, F.col("l.doc_id") == nbr.dst, "left")
-               .select(F.col("l.doc_id").alias("doc_id"),
-                       F.least(F.col("l.lab"),
-                               F.coalesce("nlab", F.col("l.lab"))).alias("lab"))
-               .localCheckpoint())
-        changed = (new.alias("n").join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.lab") < F.col("o.lab")).count())
-        labels = new
-        if changed == 0:
-            break
-    edges.unpersist()
-    sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
-    return (labels.join(sizes, "lab")
-            .select("doc_id", F.col("lab").alias("cluster_id"), "cluster_size"))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (comp.join(sizes, "component")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id"), "cluster_size"))
 
 
 def text_simhash(spark, sf_dir):
