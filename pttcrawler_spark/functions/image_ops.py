@@ -38,6 +38,37 @@ IMAGES_DDL = ("image_id string, bytes binary, w int, h int, fmt string, "
               "caption string, phash long")
 
 
+# per-id dimension palette for the VARIED builder (seed_for(id) % len picks
+# one): mixes portrait/square/landscape so aspect-dependent ops (bucketing,
+# resize policies) are non-degenerate, and batch rows genuinely differ in
+# byte length — the ragged-binary case a real crawl feeds the decoder
+VARIED_DIMS = [(32, 32), (48, 32), (32, 48), (64, 32), (40, 56)]
+
+
+def build_images_df_varied(ids: DataFrame,
+                           id_col: str = "image_id") -> DataFrame:
+    """Like :func:`build_images_df` but each id gets seed-chosen dimensions
+    from :data:`VARIED_DIMS` — variable-size payloads through the identical
+    Arrow batch path."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col].astype(str):
+                s = img.seed_for(i)
+                w, h = VARIED_DIMS[s % len(VARIED_DIMS)]
+                fmt = "jpeg" if s % 3 == 0 else "png"
+                rows.append(img.build_payload(i, w, h, fmt,
+                                              caption=f"caption {i}"))
+            out = pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=[c.split(" ")[0] for c in IMAGES_DDL.split(", ")])
+            if len(rows):
+                out["phash"] = pd.array([r["phash"] for r in rows], dtype="Int64")
+            yield out
+
+    return ids.select(F.col(id_col).cast("string").alias(id_col)) \
+        .mapInPandas(gen, schema=IMAGES_DDL)
+
+
 def build_images_df(ids: DataFrame, id_col: str = "image_id",
                     w: int = 32, h: int = 32) -> DataFrame:
     """id column → deterministic input_hint-shaped image table.

@@ -909,6 +909,28 @@ def img_phash_near_dup(spark, sf_dir):
         .where(F.col("hamming") <= 27))
 
 
+def img_aspect_bucket(spark, sf_dir):
+    """Aspect-ratio BUCKETING for training-batch packing (the SDXL-style
+    prep step: group images into portrait/square/landscape/wide bins so a
+    batch shares one resize target). Variable-dimension payloads
+    (functions/image_ops.build_images_df_varied — ragged binaries through the
+    same Arrow decode path) → decoded aspect via mapInPandas → JVM CASE
+    bucketing → groupBy(bucket). Oracle: driver-side numpy decode fixture
+    (tests/fixtures/gen_img_aspect40.py)."""
+    from .functions import image_ops as IMG
+    stats = IMG.decode_stats(
+        IMG.build_images_df_varied(_doc_image_ids(spark, sf_dir, modulo=40)))
+    a = F.col("aspect")
+    bucket = (F.when(a < 0.8, "portrait")
+              .when(a <= 1.25, "square")
+              .when(a <= 1.75, "landscape")
+              .otherwise("wide"))
+    return (stats.select(bucket.alias("bucket"), "aspect")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_images"),
+                 F.round(F.avg("aspect"), 4).alias("avg_aspect")))
+
+
 def img_dedup_bytes(spark, sf_dir):
     """Exact image dedup at the BYTE level: md5 over the encoded binary
     payload, hash-groupBy — the first (cheapest) gate of an image dedup
@@ -1562,6 +1584,13 @@ ORACLE_SQL: dict[str, str] = {
                    ON a.b = c.b AND a.bv = c.bv AND a.image_id < c.image_id)
         SELECT i1, i2, CAST(bit_count(xor(p1, p2)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(p1, p2)) <= 27""",
+    "img_aspect_bucket": """
+        WITH fx AS (SELECT * FROM '/root/repo/tests/fixtures/img_aspect40.parquet'),
+        ids AS (SELECT cast(doc_id % 40 AS varchar) AS image_id FROM documents)
+        SELECT bucket, count(*) AS n_images,
+               round(avg(aspect), 4) AS avg_aspect
+        FROM ids JOIN fx USING (image_id)
+        GROUP BY bucket""",
     "img_dedup_bytes": """
         WITH fx AS (SELECT * FROM '/root/repo/tests/fixtures/img_md5_40.parquet'),
         ids AS (SELECT cast(doc_id % 40 AS varchar) AS image_id FROM documents)
@@ -1665,6 +1694,7 @@ def queries():
         "img_phash_dedup": img_phash_dedup,
         "img_phash_near_dup": img_phash_near_dup,
         "img_dedup_bytes": img_dedup_bytes,
+        "img_aspect_bucket": img_aspect_bucket,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,
