@@ -909,6 +909,26 @@ def img_phash_near_dup(spark, sf_dir):
         .where(F.col("hamming") <= 27))
 
 
+def img_phash_cluster(spark, sf_dir):
+    """Image near-dup CLUSTERS: connected components (operators/cc.py
+    large-star/small-star) over the banded-phash candidate pair graph
+    (:func:`img_phash_near_dup`) — transitive closure turns pairwise hamming
+    matches into keep-one-per-cluster groups, the same post-pair step the
+    text pipeline runs (dedup_cluster_cc). Oracle: DuckDB WITH RECURSIVE
+    closure over the identical pair set from the phash fixture."""
+    from .operators.cc import connected_components
+
+    pairs = img_phash_near_dup(spark, sf_dir).select(
+        F.col("i1").cast("long").alias("src"),
+        F.col("i2").cast("long").alias("dst"))
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (comp.join(sizes, "component")
+            .select(F.col("node").cast("string").alias("image_id"),
+                    F.col("component").cast("long").alias("cluster_id"),
+                    "cluster_size"))
+
+
 def img_aspect_bucket(spark, sf_dir):
     """Aspect-ratio BUCKETING for training-batch packing (the SDXL-style
     prep step: group images into portrait/square/landscape/wide bins so a
@@ -1584,6 +1604,35 @@ ORACLE_SQL: dict[str, str] = {
                    ON a.b = c.b AND a.bv = c.bv AND a.image_id < c.image_id)
         SELECT i1, i2, CAST(bit_count(xor(p1, p2)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(p1, p2)) <= 27""",
+    "img_phash_cluster": """
+        WITH RECURSIVE ph AS (SELECT image_id, phash64
+                    FROM '/root/repo/tests/fixtures/img_phash40.parquet'),
+        ids AS (SELECT DISTINCT cast(doc_id % 40 AS varchar) AS image_id
+                FROM documents),
+        imgs AS (SELECT image_id, phash64 FROM ids JOIN ph USING (image_id)),
+        bands AS (SELECT image_id, phash64, bb.b,
+                         (phash64 >> (8 * bb.b)) & 255 AS bv
+                  FROM imgs CROSS JOIN
+                       (SELECT unnest([0,1,2,3,4,5,6,7]) AS b) bb),
+        cand AS (SELECT DISTINCT a.image_id AS i1, c.image_id AS i2,
+                        a.phash64 AS p1, c.phash64 AS p2
+                 FROM bands a JOIN bands c
+                   ON a.b = c.b AND a.bv = c.bv AND a.image_id < c.image_id),
+        pairs AS (SELECT CAST(i1 AS BIGINT) AS doc_a, CAST(i2 AS BIGINT) AS doc_b
+                  FROM cand WHERE bit_count(xor(p1, p2)) <= 27),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(node, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM edges e JOIN reach r ON r.node = e.src),
+        comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+        SELECT CAST(c.node AS varchar) AS image_id, c.cluster_id,
+               s.cluster_size
+        FROM comp c
+        JOIN (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY cluster_id) s USING (cluster_id)""",
     "img_aspect_bucket": """
         WITH fx AS (SELECT * FROM '/root/repo/tests/fixtures/img_aspect40.parquet'),
         ids AS (SELECT cast(doc_id % 40 AS varchar) AS image_id FROM documents)
@@ -1695,6 +1744,7 @@ def queries():
         "img_phash_near_dup": img_phash_near_dup,
         "img_dedup_bytes": img_dedup_bytes,
         "img_aspect_bucket": img_aspect_bucket,
+        "img_phash_cluster": img_phash_cluster,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,
