@@ -54,7 +54,9 @@ HEADLINE = [
     "text_top_tokens",
     "text_fingerprint",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "ann_topk_bruteforce",
+    "img_verify_psnr",
 ]
 
 # default crawl microbench site (≈22k URLs, ~7k-article steady batches)

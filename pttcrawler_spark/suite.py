@@ -967,6 +967,157 @@ def img_dedup_bytes(spark, sf_dir):
             .where(F.col("n_copies") >= 2))
 
 
+def img_verify_psnr(spark, sf_dir):
+    """North-rule per-row payload invariant AS A GRADED QUERY
+    (BASELINE.json input_hint: "decoded-pixel allclose (PSNR>=40dB for
+    lossy) + caption equality"): decode every fetched image payload, score
+    PSNR against the independently re-rendered reference pixels (>= 40 dB
+    passes for lossy; lossless must be pixel-exact), re-check the carried
+    phash metadata, and test caption equality — one Arrow mapInPandas stage
+    (engine/verify.py), zero per-row Python outside the batch loop. Ids
+    folded mod 40; expected captions are deliberately corrupted for
+    image_id % 7 == 0 so caption_ok is a discriminating column, not a
+    constant. psnr is truncated via floor(x*100)/100 on BOTH sides (same
+    double → same bits; F.round is HALF_UP while Python round is
+    half-even, which would skew the driver's value hash). Oracle:
+    independent driver-side numpy recompute of decode/PSNR/phash
+    (tests/fixtures/gen_img_verify40.py) + the %-7 caption rule in SQL."""
+    from .engine.verify import verify_payloads
+    from .functions import image_ops as IMG
+    imgs = IMG.build_images_df(_doc_image_ids(spark, sf_dir, modulo=40))
+    imgs = imgs.withColumn(
+        "expected_caption",
+        F.when(F.col("image_id").cast("int") % 7 == 0,
+               F.concat(F.lit("CORRUPTED "), F.col("image_id")))
+        .otherwise(F.concat(F.lit("caption "), F.col("image_id"))))
+    return (verify_payloads(imgs)
+            .select("image_id", "fmt",
+                    (F.floor(F.col("psnr_db") * 100) / 100).alias("psnr_db"),
+                    "pixel_ok", "phash_ok", "caption_ok"))
+
+
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1) as one
+    JVM-only projection — the standard pre-training repetition/format gate
+    that runs BEFORE dedup in an LLM data pipeline. Per document:
+    word count bounds, mean word length bounds, symbol-to-word ratio
+    (# / ellipsis), fraction of alphabetic words, and a stopword-presence
+    floor; `passes` is the conjunction. All five signals are array/higher-
+    order Column expressions over one split — no UDF, whole-stage codegen,
+    scales as a pure map (no shuffle)."""
+    words = _words(F.col("text"))
+    n = F.size(words)
+    nd = n.cast("double")
+    mean_wlen = (F.aggregate(words, F.lit(0).cast("long"),
+                             lambda acc, w_: acc + F.length(w_).cast("long"))
+                 .cast("double") / nd)
+    n_sym = F.size(F.filter(words, lambda w_: w_.contains("#")
+                            | w_.contains("...") | w_.contains("…")))
+    n_alpha = F.size(F.filter(words, lambda w_: w_.rlike("[A-Za-z]")))
+    n_stop = F.size(F.filter(
+        words, lambda w_: F.lower(w_).isin("the", "be", "to", "of", "and",
+                                           "that", "have", "with")))
+    sym_ratio = F.round(n_sym.cast("double") / nd, 4)
+    alpha_frac = F.round(n_alpha.cast("double") / nd, 4)
+    passes = ((n >= 5) & (n <= 100000)
+              & (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+              & (sym_ratio <= 0.1) & (alpha_frac >= 0.6) & (n_stop >= 1))
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", n.alias("n_words"),
+                    F.round(mean_wlen, 4).alias("mean_word_len"),
+                    sym_ratio.alias("symbol_ratio"),
+                    alpha_frac.alias("alpha_frac"),
+                    n_stop.alias("n_stop"),
+                    passes.alias("passes")))
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling for training-data mixing: each
+    language stratum keeps a different fixed fraction via an md5-prefix
+    threshold (zh 8/16, en 4/16, everything else 2/16). Hash-gate sampling
+    is the scale idiom — a pure filter (no shuffle, no RNG state, no
+    .sample() nondeterminism across retries/speculative tasks), identical
+    on any cluster size, and the oracle reproduces it exactly because md5
+    is md5 everywhere. Returns the kept rows so the driver value-hashes
+    membership, not just counts."""
+    docs = t(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    thresh = (F.when(F.col("lang") == "zh", F.lit("8"))
+              .when(F.col("lang") == "en", F.lit("4"))
+              .otherwise(F.lit("2")))
+    return (docs.where(gate < thresh)
+            .select("doc_id", "lang", "source"))
+
+
+def j8_asof_join(spark, sf_dir):
+    """As-of join — each click event matched to the latest preceding view
+    by the same user (Spark has no ASOF JOIN; DuckDB's native one is the
+    oracle). Scale path: NOT a per-row range probe (O(n·m) nested-loop) —
+    tag both sides, union, then one window over (user_id, ts) carrying the
+    last non-null view forward. One shuffle on user_id total, linear in
+    events, skew-bounded by the hottest user. Views sort before clicks at
+    equal ts (side 0 < 1), matching the oracle's v.ts <= c.ts inclusive
+    bound. NULL match → -1/epoch sentinels on BOTH sides (nullable int64
+    lands as float64 in Arrow, which would poison the driver's hash)."""
+    ev = t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(0).alias("side"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.col("event_id").alias("click_id"),
+        F.lit(1).alias("side"))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (views.unionByName(clicks)
+               .withColumn("m_id", F.last("view_event_id", ignorenulls=True).over(w))
+               .withColumn("m_ts", F.last("view_ts", ignorenulls=True).over(w)))
+    return (carried.where(F.col("side") == 1)
+            .select(F.col("click_id"), "user_id",
+                    F.col("ts").alias("click_ts"),
+                    F.coalesce("m_id", F.lit(-1)).alias("view_event_id"),
+                    F.coalesce("m_ts", F.lit("1970-01-01").cast("timestamp"))
+                    .alias("view_ts")))
+
+
+def j9_ip_range_lookup(spark, sf_dir):
+    """Range join (ip BETWEEN cidr_lo AND cidr_hi — the ASN-enrichment
+    shape of crawler/asn.py) rewritten as an EQUI-join: a naive
+    non-equi join against a range table compiles to
+    BroadcastNestedLoopJoin, O(n·ranges) at 100 TB; instead each side maps
+    to a /4 prefix (ranges here are sub-prefix-aligned, the general case
+    needs prefix expansion per range), the join is hash-on-prefix, and the
+    BETWEEN survives only as a residual filter on the handful of same-prefix
+    candidates. Dim is 32 rows → broadcast; fact side never shuffles.
+    ips derive deterministically from event_id (Knuth multiplicative
+    hash mod 2^32) so the oracle rebuilds the identical input."""
+    ip32 = ((F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)) \
+        .alias("ip32")
+    e = t(spark, sf_dir, "events").select(ip32)
+    i = F.col("id")
+    dim = spark.range(32).select(
+        (i / 2).cast("long").alias("prefix"),
+        ((i / 2).cast("long") * 268435456
+         + (i % 2) * 134217728).alias("lo"),
+        ((i / 2).cast("long") * 268435456
+         + (i % 2) * 134217728 + 134217727).alias("hi"),
+        (F.lit(64500) + i).alias("asn"))
+    joined = e.join(
+        F.broadcast(dim),
+        (F.shiftright(F.col("ip32"), 28) == F.col("prefix"))
+        & F.col("ip32").between(F.col("lo"), F.col("hi")))
+    return (joined.groupBy("asn")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ip32").alias("min_ip"),
+                 F.max("ip32").alias("max_ip")))
+
+
 # F6/F7 raw-page parse suite entries: a fixed 192-slot synthetic site
 # (normal / transcription / broken page mix) rendered ON EXECUTORS, parsed by
 # the distributed Column-expression parser, checked against the pure-Python
@@ -1581,6 +1732,78 @@ ORACLE_SQL: dict[str, str] = {
         SELECT image_id, CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
                'png' AS fmt, thumb_phash
         FROM ids JOIN fx USING (image_id)""",
+    # Oracle side-table: independent driver-side decode + PSNR/phash recompute
+    # (tests/fixtures/gen_img_verify40.py); the %-7 caption corruption is
+    # re-derived in SQL. floor(x*100)/100 mirrors the Spark projection exactly
+    # (same double in, same bits out — see img_verify_psnr docstring).
+    "img_verify_psnr": """
+        WITH fx AS (SELECT * FROM '/root/repo/tests/fixtures/img_verify40.parquet'),
+        ids AS (SELECT cast(doc_id % 40 AS varchar) AS image_id FROM documents)
+        SELECT image_id, fmt,
+               floor(psnr_db * 100) / 100 AS psnr_db,
+               pixel_ok, phash_ok,
+               (CAST(image_id AS INT) % 7 <> 0) AS caption_ok
+        FROM ids JOIN fx USING (image_id)""",
+    "text_gopher_rules": """
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+                   FROM documents)
+        SELECT doc_id,
+               len(words) AS n_words,
+               round(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+                     / cast(len(words) AS double), 4) AS mean_word_len,
+               round(len(list_filter(words, x -> contains(x, '#')
+                                               OR contains(x, '...')
+                                               OR contains(x, '…')))
+                     / cast(len(words) AS double), 4) AS symbol_ratio,
+               round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                     / cast(len(words) AS double), 4) AS alpha_frac,
+               len(list_filter(words, x -> lower(x) IN
+                   ('the','be','to','of','and','that','have','with'))) AS n_stop,
+               (len(words) BETWEEN 5 AND 100000
+                AND (list_aggregate(list_transform(words, x -> length(x)), 'sum')
+                     / cast(len(words) AS double)) BETWEEN 2.0 AND 12.0
+                AND round(len(list_filter(words, x -> contains(x, '#')
+                                                   OR contains(x, '...')
+                                                   OR contains(x, '…')))
+                          / cast(len(words) AS double), 4) <= 0.1
+                AND round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                          / cast(len(words) AS double), 4) >= 0.6
+                AND len(list_filter(words, x -> lower(x) IN
+                    ('the','be','to','of','and','that','have','with'))) >= 1)
+               AS passes
+        FROM w""",
+    "sample_stratified": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substr(md5(cast(doc_id AS varchar)), 1, 1) <
+              CASE WHEN lang = 'zh' THEN '8'
+                   WHEN lang = 'en' THEN '4'
+                   ELSE '2' END""",
+    # DuckDB's native ASOF JOIN is the oracle for the union+window rewrite
+    "j8_asof_join": """
+        WITH v AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'view'),
+             c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click')
+        SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+               coalesce(v.event_id, -1) AS view_event_id,
+               coalesce(v.ts, TIMESTAMP '1970-01-01') AS view_ts
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND v.ts <= c.ts""",
+    "j9_ip_range_lookup": """
+        WITH e AS (SELECT (event_id * 2654435761) % 4294967296 AS ip32
+                   FROM events),
+             d AS (SELECT i // 2 AS prefix,
+                          (i // 2) * 268435456 + (i % 2) * 134217728 AS lo,
+                          (i // 2) * 268435456 + (i % 2) * 134217728
+                              + 134217727 AS hi,
+                          64500 + i AS asn
+                   FROM range(0, 32) t(i))
+        SELECT asn, count(*) AS n_events,
+               min(ip32) AS min_ip, max(ip32) AS max_ip
+        FROM e JOIN d ON e.ip32 // 268435456 = d.prefix
+                     AND e.ip32 BETWEEN d.lo AND d.hi
+        GROUP BY asn""",
     "img_phash_dedup": """
         WITH ph AS (SELECT image_id, phash64
                     FROM '/root/repo/tests/fixtures/img_phash40.parquet'),
@@ -1745,6 +1968,11 @@ def queries():
         "img_dedup_bytes": img_dedup_bytes,
         "img_aspect_bucket": img_aspect_bucket,
         "img_phash_cluster": img_phash_cluster,
+        "img_verify_psnr": img_verify_psnr,
+        "text_gopher_rules": text_gopher_rules,
+        "sample_stratified": sample_stratified,
+        "j8_asof_join": j8_asof_join,
+        "j9_ip_range_lookup": j9_ip_range_lookup,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,
