@@ -14,6 +14,8 @@ instead (tests/test_dedup.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1118,6 +1120,78 @@ def j9_ip_range_lookup(spark, sf_dir):
                  F.max("ip32").alias("max_ip")))
 
 
+_KM_K = 4
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _km_quantize(spark, sf_dir):
+    """embeddings → (vec_id, q: array<long>) with q[i] = floor(x*1e6 + 0.5).
+
+    Integer quantization is what makes distributed k-means CROSS-ENGINE
+    exact: float sums depend on addition order (non-associative), so a
+    Spark shuffle-order sum and a DuckDB sum of the same floats can differ
+    in the last ulps and flip a near-tie assignment. Scaled longs sum
+    exactly in any order; floor(x*1e6+0.5) is the identical double op on
+    both sides."""
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + 0.5).alias("e"))
+        .alias("q"))
+
+
+def _km_assign(q, cents):
+    """Add (cluster, dist_q) = argmin over the k literal centroids.
+    Broadcast-by-literal: k·d longs baked into the plan (the same shape
+    MLlib uses — centroids are always tiny; the DATA never moves). Ties
+    break to the lowest cluster id via lexicographic struct array_min."""
+    structs = []
+    for ci, cv in sorted(cents.items()):
+        lit = F.array(*[F.lit(int(v)) for v in cv])
+        d = F.aggregate(
+            F.zip_with("q", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x_: acc + x_)
+        structs.append(F.struct(d.alias("d"), F.lit(int(ci)).alias("c")))
+    m = F.array_min(F.array(*structs))
+    return q.withColumn("cluster", m["c"]).withColumn("dist_q", m["d"])
+
+
+def kmeans_lloyd(spark, sf_dir):
+    """Distributed k-means (Lloyd), k=4, 2 iterations — the iterative-
+    algorithm representative of the pipeline suite (IVF cells, dedup
+    centroids, data-mixing clusters all start here). Per iteration: one
+    map-side assignment against broadcast centroids (no shuffle), one
+    groupBy(cluster, pos) partial-agg shuffle of k·d longs, one O(k·d)
+    driver collect — the loop state is centroids only, never data, so the
+    shape survives 10^10 rows. Init = the k lowest vec_ids; empty clusters
+    keep their previous centroid (both engines implement the same rule).
+    Centroid update floor(sum/count) runs in exact integer space (see
+    _km_quantize) so the DuckDB oracle — the same two iterations unrolled
+    as CTEs — reproduces every assignment bit-for-bit."""
+    q = _km_quantize(spark, sf_dir).persist()
+    try:
+        init = (q.where(F.col("vec_id") < _KM_K).orderBy("vec_id")
+                .select("vec_id", "q").collect())
+        cents = {int(r.vec_id): list(r.q) for r in init}
+        for _ in range(_KM_ITERS):
+            sums = (_km_assign(q, cents)
+                    .select("cluster", F.posexplode("q").alias("pos", "e"))
+                    .groupBy("cluster", "pos")
+                    .agg(F.sum("e").alias("s"), F.count("*").alias("n"))
+                    .collect())
+            upd = {}
+            for r in sums:
+                upd.setdefault(int(r.cluster), [0] * _KM_DIM)[int(r.pos)] = \
+                    math.floor(r.s / r.n)
+            cents = {ci: upd.get(ci, cv) for ci, cv in cents.items()}
+        return (_km_assign(q, cents)
+                .select("vec_id", "cluster", "dist_q"))
+    finally:
+        q.unpersist()
+
+
 # F6/F7 raw-page parse suite entries: a fixed 192-slot synthetic site
 # (normal / transcription / broken page mix) rendered ON EXECUTORS, parsed by
 # the distributed Column-expression parser, checked against the pure-Python
@@ -1779,6 +1853,59 @@ ORACLE_SQL: dict[str, str] = {
               CASE WHEN lang = 'zh' THEN '8'
                    WHEN lang = 'en' THEN '4'
                    ELSE '2' END""",
+    # The same two Lloyd iterations unrolled as CTEs. All arithmetic is in
+    # the quantized-long space (floor(x*1e6+0.5)) so sums are exact and the
+    # assignment sequence matches Spark's bit-for-bit; centroid update =
+    # floor(sum::double / count) both sides; argmin ties break to the lowest
+    # cluster id (QUALIFY row_number ORDER BY dist, cid ≡ struct array_min).
+    "kmeans_lloyd": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                 AS q
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, q FROM q WHERE vec_id < 4),
+        d1 AS (SELECT v.vec_id, c.cid,
+                      sum((v.q[i.i] - c.q[i.i]) * (v.q[i.i] - c.q[i.i])) AS dist
+               FROM q v CROSS JOIN c0 c CROSS JOIN range(1, 65) i(i)
+               GROUP BY v.vec_id, c.cid),
+        a1 AS (SELECT vec_id, cid AS cluster FROM d1
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) = 1),
+        s1 AS (SELECT a1.cluster, i.i AS pos,
+                      CAST(floor(CAST(sum(v.q[i.i]) AS DOUBLE) / count(*))
+                           AS BIGINT) AS ce
+               FROM a1 JOIN q v USING (vec_id) CROSS JOIN range(1, 65) i(i)
+               GROUP BY a1.cluster, i.i),
+        u1 AS (SELECT cluster, list(ce ORDER BY pos) AS q FROM s1
+               GROUP BY cluster),
+        c1 AS (SELECT c0.cid, coalesce(u1.q, c0.q) AS q
+               FROM c0 LEFT JOIN u1 ON u1.cluster = c0.cid),
+        d2 AS (SELECT v.vec_id, c.cid,
+                      sum((v.q[i.i] - c.q[i.i]) * (v.q[i.i] - c.q[i.i])) AS dist
+               FROM q v CROSS JOIN c1 c CROSS JOIN range(1, 65) i(i)
+               GROUP BY v.vec_id, c.cid),
+        a2 AS (SELECT vec_id, cid AS cluster FROM d2
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) = 1),
+        s2 AS (SELECT a2.cluster, i.i AS pos,
+                      CAST(floor(CAST(sum(v.q[i.i]) AS DOUBLE) / count(*))
+                           AS BIGINT) AS ce
+               FROM a2 JOIN q v USING (vec_id) CROSS JOIN range(1, 65) i(i)
+               GROUP BY a2.cluster, i.i),
+        u2 AS (SELECT cluster, list(ce ORDER BY pos) AS q FROM s2
+               GROUP BY cluster),
+        c2 AS (SELECT c1.cid, coalesce(u2.q, c1.q) AS q
+               FROM c1 LEFT JOIN u2 ON u2.cluster = c1.cid),
+        d3 AS (SELECT v.vec_id, c.cid,
+                      sum((v.q[i.i] - c.q[i.i]) * (v.q[i.i] - c.q[i.i])) AS dist
+               FROM q v CROSS JOIN c2 c CROSS JOIN range(1, 65) i(i)
+               GROUP BY v.vec_id, c.cid)
+        SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_q
+        FROM d3
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1""",
     # DuckDB's native ASOF JOIN is the oracle for the union+window rewrite
     "j8_asof_join": """
         WITH v AS (SELECT user_id, ts, event_id FROM events
@@ -1973,6 +2100,7 @@ def queries():
         "sample_stratified": sample_stratified,
         "j8_asof_join": j8_asof_join,
         "j9_ip_range_lookup": j9_ip_range_lookup,
+        "kmeans_lloyd": kmeans_lloyd,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,
