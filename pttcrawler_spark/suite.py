@@ -355,6 +355,43 @@ def f12_url_assembly(spark, sf_dir):
                     .alias("url")))
 
 
+def f13_url_canonical(spark, sf_dir):
+    """URL canonicalization as the SEEN-SET key (functions/url.canonicalize
+    — the north star's 'canonicalized murmur3-hashed URLs'; the reference
+    string-formats URLs and has no canonicalizer, so dup variants would
+    refetch at scale). Six deterministic messy variants per orderkey
+    (uppercase scheme/host, default ports, fragments, duplicate slashes,
+    trailing '?', padding) collapse onto k-keyed canonical URLs; groupBy
+    canonical = the dedup the URL-seen filter performs. All JVM regexp
+    (whole-stage codegen, no shuffle before the final agg); oracle =
+    the identical rule chain in DuckDB RE2."""
+    from .functions import url as FU
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 6).alias("v"),
+        (F.col("o_orderkey") % 1000).alias("k"))
+    board = F.concat(F.lit("Board"), (F.col("k") % 50).cast("string"))
+    ks = F.col("k").cast("string")
+    path = F.concat(F.lit("/bbs/"), board, F.lit("/index"), ks,
+                    F.lit(".html"))
+    v = F.col("v")
+    raw = (F.when(v == 0, F.concat(F.lit("https://WWW.PTT.CC:443/bbs/"),
+                                   board, F.lit("//index"), ks,
+                                   F.lit(".html#frag")))
+           .when(v == 1, F.concat(F.lit("https://www.ptt.cc"), path))
+           .when(v == 2, F.concat(F.lit("HTTPS://www.Ptt.cc"), path,
+                                  F.lit("?")))
+           .when(v == 3, F.concat(F.lit("http://MIRROR.ptt.cc:80/bbs///"),
+                                  board, F.lit("/index"), ks, F.lit(".html")))
+           .when(v == 4, F.concat(F.lit("https://www.ptt.cc:443"), path,
+                                  F.lit("#a#b")))
+           .otherwise(F.concat(F.lit("  https://www.ptt.cc"), path,
+                               F.lit("  "))))
+    return (o.select(FU.canonicalize(raw).alias("url_canon"),
+                     FU.host_of(FU.canonicalize(raw)).alias("host"))
+            .groupBy("url_canon", "host")
+            .agg(F.count("*").alias("n_variants")))
+
+
 # --- dedup suite (training-data ops, documents table) ------------------------
 def _words(col):
     return F.split(F.trim(col), r"\s+")
@@ -1853,6 +1890,46 @@ ORACLE_SQL: dict[str, str] = {
               CASE WHEN lang = 'zh' THEN '8'
                    WHEN lang = 'en' THEN '4'
                    ELSE '2' END""",
+    # The identical canonicalization rule chain in DuckDB RE2 (\\1 backrefs,
+    # 'g' flag where Spark's regexp_replace is implicitly global)
+    "f13_url_canonical": """
+        WITH src AS (
+          SELECT o_orderkey % 6 AS v, o_orderkey % 1000 AS k FROM orders),
+        raw AS (
+          SELECT CASE v
+            WHEN 0 THEN 'https://WWW.PTT.CC:443/bbs/Board' || (k % 50)
+                        || '//index' || k || '.html#frag'
+            WHEN 1 THEN 'https://www.ptt.cc/bbs/Board' || (k % 50)
+                        || '/index' || k || '.html'
+            WHEN 2 THEN 'HTTPS://www.Ptt.cc/bbs/Board' || (k % 50)
+                        || '/index' || k || '.html?'
+            WHEN 3 THEN 'http://MIRROR.ptt.cc:80/bbs///Board' || (k % 50)
+                        || '/index' || k || '.html'
+            WHEN 4 THEN 'https://www.ptt.cc:443/bbs/Board' || (k % 50)
+                        || '/index' || k || '.html#a#b'
+            ELSE '  https://www.ptt.cc/bbs/Board' || (k % 50)
+                 || '/index' || k || '.html  '
+          END AS url FROM src),
+        s1 AS (SELECT regexp_replace(trim(url), '#.*$', '') AS c FROM raw),
+        s2 AS (SELECT
+                 regexp_replace(regexp_replace(
+                     lower(regexp_extract(c,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)),
+                     '^(https://[^/:]+):443$', '\\1'),
+                     '^(http://[^/:]+):80$', '\\1') AS sh,
+                 regexp_replace(regexp_replace(
+                     regexp_replace(c,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', ''),
+                     '//+', '/', 'g'),
+                     '\\?$', '') AS rest
+               FROM s1),
+        canon AS (SELECT sh || (CASE WHEN rest = '' THEN '/' ELSE rest END)
+                         AS url_canon FROM s2)
+        SELECT url_canon,
+               lower(regexp_extract(url_canon,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+               count(*) AS n_variants
+        FROM canon GROUP BY url_canon""",
     # The same two Lloyd iterations unrolled as CTEs. All arithmetic is in
     # the quantized-long space (floor(x*1e6+0.5)) so sums are exact and the
     # assignment sequence matches Spark's bit-for-bit; centroid update =
@@ -2101,6 +2178,7 @@ def queries():
         "j8_asof_join": j8_asof_join,
         "j9_ip_range_lookup": j9_ip_range_lookup,
         "kmeans_lloyd": kmeans_lloyd,
+        "f13_url_canonical": f13_url_canonical,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,
