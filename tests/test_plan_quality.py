@@ -153,3 +153,46 @@ def test_store_ids_no_global_window(spark, crawled):
         plan = buf.getvalue()
         assert _single_partition_exchanges(plan) == [], (
             f"{name}: {_single_partition_exchanges(plan)}")
+
+
+def test_asof_join_single_window_no_join(spark):
+    """j8: the as-of rewrite must be union + ONE window — a per-row range
+    probe would appear as a (nested-loop) join."""
+    plan = _plan(spark, "j8_asof_join")
+    assert plan.count("Window") >= 1
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "PushedFilters" in plan  # event_type filters reach both scans
+
+
+def test_range_lookup_is_broadcast_equi(spark):
+    """j9: range join must compile to BroadcastHashJoin on the prefix,
+    never BroadcastNestedLoopJoin on the BETWEEN."""
+    plan = _plan(spark, "j9_ip_range_lookup")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_pure_map_ops_no_shuffle(spark):
+    """gopher rules and stratified sampling are pure maps/filters —
+    any Exchange means a planning regression."""
+    for name in ("text_gopher_rules", "sample_stratified"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_url_canonical_single_agg_exchange(spark):
+    """f13: the canonicalization chain stays in one codegen stage; the only
+    shuffle is the canonical-key aggregation."""
+    plan = _plan(spark, "f13_url_canonical")
+    # tree section only — the details section repeats each node name
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "HashAggregate" in tree  # partial agg before the shuffle
+
+
+def test_verify_psnr_no_shuffle(spark):
+    """img_verify_psnr: per-row invariant is chained MapInPandas, data-local."""
+    plan = _plan(spark, "img_verify_psnr")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") >= 2
