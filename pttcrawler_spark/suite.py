@@ -355,6 +355,34 @@ def f12_url_assembly(spark, sf_dir):
                     .alias("url")))
 
 
+def a7_skew_agg(spark, sf_dir):
+    """Skew-safe aggregation over a deliberately hot key (90% of events map
+    to one host — the head-host shape of a real crawl frontier, which the
+    north star kills with host-hash salting). Two patterns in one result:
+    (1) exact per-host distinct users via pre-dedup on (host, user) — the
+    hot host's rows spread across reducers by user, so no single task sees
+    90% of the data (a naive count(DISTINCT) funnels them to one); (2) a
+    salted two-phase sum — groupBy(host, salt=user%16) partials, then a
+    host-only combine that moves ≤ hosts×16 rows. Value sums run in exact
+    integer cents (floor(v*100+0.5)) so shuffle order can't change a bit.
+    Oracle: plain GROUP BY host (salt-invariant by construction)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 10 < 9, F.lit("hot.ptt.cc"))
+        .otherwise(F.concat(F.lit("c"), (F.col("event_id") % 97)
+                            .cast("string"))).alias("host"),
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).alias("cents"))
+    users = (ev.select("host", "user_id").distinct()
+             .groupBy("host").agg(F.count("*").alias("n_users")))
+    salted = (ev.withColumn("salt", F.pmod(F.col("user_id"), F.lit(16)))
+              .groupBy("host", "salt")
+              .agg(F.sum("cents").alias("s"), F.count("*").alias("n")))
+    tot = (salted.groupBy("host")
+           .agg(F.sum("s").alias("sum_cents"),
+                F.sum("n").alias("n_events")))
+    return tot.join(users, "host")
+
+
 def f13_url_canonical(spark, sf_dir):
     """URL canonicalization as the SEEN-SET key (functions/url.canonicalize
     — the north star's 'canonicalized murmur3-hashed URLs'; the reference
@@ -1890,6 +1918,18 @@ ORACLE_SQL: dict[str, str] = {
               CASE WHEN lang = 'zh' THEN '8'
                    WHEN lang = 'en' THEN '4'
                    ELSE '2' END""",
+    "a7_skew_agg": """
+        WITH ev AS (
+          SELECT CASE WHEN event_id % 10 < 9 THEN 'hot.ptt.cc'
+                      ELSE 'c' || CAST(event_id % 97 AS VARCHAR) END AS host,
+                 user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT host,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM ev GROUP BY host""",
     # The identical canonicalization rule chain in DuckDB RE2 (\\1 backrefs,
     # 'g' flag where Spark's regexp_replace is implicitly global)
     "f13_url_canonical": """
@@ -2179,6 +2219,7 @@ def queries():
         "j9_ip_range_lookup": j9_ip_range_lookup,
         "kmeans_lloyd": kmeans_lloyd,
         "f13_url_canonical": f13_url_canonical,
+        "a7_skew_agg": a7_skew_agg,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,
