@@ -383,6 +383,22 @@ def a7_skew_agg(spark, sf_dir):
     return tot.join(users, "host")
 
 
+def a8_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`, verified bit-equal). Exact order statistics
+    buffer each group's values, so this is the right tool at
+    moderate-group-cardinality (5 event types here, one shuffle);
+    for 10^8-member groups the scale path is `approx_percentile`
+    (KLL/GK sketch, mergeable map-side) at the cost of a bounded error —
+    which is also why the approx variant can't be oracle-checked."""
+    return (t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.percentile("value", 0.5).alias("p50"),
+                 F.percentile("value", 0.95).alias("p95"),
+                 F.percentile("value", 0.99).alias("p99"),
+                 F.count("*").alias("n")))
+
+
 def f13_url_canonical(spark, sf_dir):
     """URL canonicalization as the SEEN-SET key (functions/url.canonicalize
     — the north star's 'canonicalized murmur3-hashed URLs'; the reference
@@ -1918,6 +1934,13 @@ ORACLE_SQL: dict[str, str] = {
               CASE WHEN lang = 'zh' THEN '8'
                    WHEN lang = 'en' THEN '4'
                    ELSE '2' END""",
+    "a8_percentile": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               quantile_cont(value, 0.99) AS p99,
+               count(*) AS n
+        FROM events GROUP BY event_type""",
     "a7_skew_agg": """
         WITH ev AS (
           SELECT CASE WHEN event_id % 10 < 9 THEN 'hot.ptt.cc'
@@ -2220,6 +2243,7 @@ def queries():
         "kmeans_lloyd": kmeans_lloyd,
         "f13_url_canonical": f13_url_canonical,
         "a7_skew_agg": a7_skew_agg,
+        "a8_percentile": a8_percentile,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,
