@@ -564,27 +564,43 @@ def dedup_embedding_lsh(spark, sf_dir):
 
 
 _MINHASH_K, _LSH_BANDS, _LSH_ROWS = 12, 4, 3
+_MH_P = 2147483647  # 2^31-1 Mersenne prime — the universal-hash field
 
 
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates — the SCALE path for pair generation:
-    shingle → k md5-minhashes → band signatures → bucket self-join. Cost is
-    O(n·k + candidate pairs), never O(n²); the md5-string minima make the
-    signature engine-portable (DuckDB oracle computes the identical bands).
-    """
+    shingle → k minhashes → band signatures → bucket self-join. Cost is
+    O(n·k + candidate pairs), never O(n²).
+
+    Hashing layout (the production trick): ONE md5 per shingle (the only
+    strong hash), folded to a 28-bit int, then k cheap universal-hash mixes
+    (h·a_i + b_i mod 2^31-1) give the k minhash coordinates — k× fewer
+    md5 evaluations than hashing (i, shingle) pairs, and every op is
+    integer arithmetic both engines implement identically (DuckDB folds
+    the same hex prefix via CAST('0x…' AS BIGINT), Spark via conv(,16,10)).
+    28-bit coordinates are plenty below ~10^7 shingles per doc-set slice;
+    widen the fold to 14 hex chars if collisions ever matter."""
     docs = (t(spark, sf_dir, "documents")
             .select("doc_id", _shingles(F.col("text")).alias("sh"))
             .where(F.size("sh") > 0))
-    minh = F.transform(
-        F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)),
-        lambda i: F.array_min(F.transform(
-            F.col("sh"),
-            lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))))
-    mh = docs.select("doc_id", minh.alias("mh"))
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
-        lambda j: F.md5(F.array_join(
-            F.slice(F.col("mh"), j * _LSH_ROWS + 1, _LSH_ROWS), "|")))
+    # Vectorized formulation: explode shingles so md5/fold/mixes are
+    # TOP-LEVEL columns (whole-stage codegen), never lambdas inside
+    # higher-order array functions (those run on the interpreted expression
+    # path — measured ~15× slower here). The k minima then come from one
+    # partial-aggregated groupBy: map-side combine reduces each partition to
+    # ≤ docs×k longs before the (tiny) shuffle.
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    h0 = F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long")
+    hx = ex.select("doc_id", h0.alias("h"))
+    mh = hx.groupBy("doc_id").agg(*[
+        F.min((F.col("h") * ((2654435761 * (i + 1)) % _MH_P)
+               + (40503 * (i + 7)) % _MH_P) % _MH_P).alias(f"m{i}")
+        for i in range(_MINHASH_K)])
+    bands = F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.col(f"m{j * _LSH_ROWS + r}").cast("string")
+            for r in range(_LSH_ROWS)]))
+        for j in range(_LSH_BANDS)])
     bd = mh.select("doc_id", F.posexplode(bands).alias("band", "sig"))
     a, b = bd.alias("a"), bd.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -1733,15 +1749,23 @@ ORACLE_SQL: dict[str, str] = {
                    i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
                  )) AS sh
           FROM documents),
+        hd AS (
+          SELECT doc_id,
+                 list_transform(sh, s ->
+                   CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+          FROM d WHERE len(sh) > 0),
         mh AS (
           SELECT doc_id,
                  list_transform(range(0, 12), i ->
-                   list_aggregate(list_transform(sh, s ->
-                     md5(cast(i AS varchar) || ':' || s)), 'min')) AS m
-          FROM d WHERE len(sh) > 0),
+                   list_aggregate(list_transform(hs, h ->
+                     (h * ((2654435761 * (i + 1)) % 2147483647)
+                      + (40503 * (i + 7)) % 2147483647) % 2147483647),
+                     'min')) AS m
+          FROM hd),
         bands AS (
           SELECT doc_id, cast(j AS int) AS band,
-                 md5(array_to_string(m[j*3+1 : j*3+3], '|')) AS sig
+                 md5(array_to_string(list_transform(m[j*3+1 : j*3+3],
+                     x -> CAST(x AS VARCHAR)), '|')) AS sig
           FROM mh, range(0, 4) t(j))
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -1758,15 +1782,23 @@ ORACLE_SQL: dict[str, str] = {
                    i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
                  )) AS sh
           FROM documents),
+        hd AS (
+          SELECT doc_id,
+                 list_transform(sh, s ->
+                   CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+          FROM d WHERE len(sh) > 0),
         mh AS (
           SELECT doc_id,
                  list_transform(range(0, 12), i ->
-                   list_aggregate(list_transform(sh, s ->
-                     md5(cast(i AS varchar) || ':' || s)), 'min')) AS m
-          FROM d WHERE len(sh) > 0),
+                   list_aggregate(list_transform(hs, h ->
+                     (h * ((2654435761 * (i + 1)) % 2147483647)
+                      + (40503 * (i + 7)) % 2147483647) % 2147483647),
+                     'min')) AS m
+          FROM hd),
         bands AS (
           SELECT doc_id, cast(j AS int) AS band,
-                 md5(array_to_string(m[j*3+1 : j*3+3], '|')) AS sig
+                 md5(array_to_string(list_transform(m[j*3+1 : j*3+3],
+                     x -> CAST(x AS VARCHAR)), '|')) AS sig
           FROM mh, range(0, 4) t(j)),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
