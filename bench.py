@@ -178,6 +178,17 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
             steady_tm = TM.summarize(
                 agg, cores, sum(b["wall_s"] for b in metered))
             steady_tm["metered_batches"] = f"{len(metered)}/{len(steady)}"
+        # per-phase medians over the steady window: the scaling question at
+        # the NEXT level of detail — which named part of a batch (admit/fetch
+        # planning, discovery, materialize-scan, materialize-parse,
+        # commit+checkpoint) stops scaling between levels
+        phase_meds = None
+        phased = [b for b in steady if b.get("phase_s")]
+        if phased:
+            phase_meds = {}
+            for k in sorted({k for b in phased for k in b["phase_s"]}):
+                vals = sorted(b["phase_s"].get(k, 0.0) for b in phased)
+                phase_meds[k] = round(vals[len(vals) // 2], 3)
         return {
             "cores": cores,
             "urls_fetched": n_fetched,
@@ -187,6 +198,7 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
             "median_batch_urls_per_sec": round(median, 2),
             "batches": res.final_batch + 1,
             **({"steady_task_metrics": steady_tm} if steady_tm else {}),
+            **({"steady_phase_medians_s": phase_meds} if phase_meds else {}),
             "batch_stats": res.batch_stats,
         }
     finally:

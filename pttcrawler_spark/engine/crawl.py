@@ -60,16 +60,21 @@ _DEBUG_TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
 
 
 class _Phase:
-    """Per-batch phase timer (enabled via SPARK_GRAFT_DEBUG_TIMING=1)."""
+    """Per-batch phase timer. Always records into ``times`` (surfaced via
+    ``CrawlResult.batch_stats[i]['phase_s']`` — the per-phase scaling
+    evidence in BENCH_SCALING.json); prints per-phase lines when
+    SPARK_GRAFT_DEBUG_TIMING=1."""
 
     def __init__(self) -> None:
         self.t = time.perf_counter()
+        self.times: dict[str, float] = {}
 
     def mark(self, label: str) -> None:
+        now = time.perf_counter()
+        self.times[label] = round(self.times.get(label, 0.0) + (now - self.t), 3)
         if _DEBUG_TIMING:
-            now = time.perf_counter()
             print(f"      [phase] {label}: {now - self.t:.3f}s", flush=True)
-            self.t = now
+        self.t = now
 
 
 _LOCAL_BITS = 22                     # local priority fits in 22 bits
@@ -578,6 +583,7 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
             "index": kc.get("index", (0, 0))[0] - kc.get("index", (0, 0))[1],
             "article": kc.get("article", (0, 0))[0] - kc.get("article", (0, 0))[1],
             "wall_s": round(time.perf_counter() - t_batch, 3),
+            "phase_s": dict(ph.times),
         }
         if TM.ENABLED:
             tm_after = TM.sample(spark)
