@@ -111,10 +111,8 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
     # and each concurrent write job then starves the machine through its
     # straggler tail. On a real cluster the frontier is pre-partitioned by
     # host_salt and this knob is sized per executor count the same way.
-    heap_gb = int("".join(filter(str.isdigit,
-                                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
-                                                "8g"))) or 8)
     metered = os.environ.get("SPARK_GRAFT_TASK_METRICS") == "1"
+    local_dir = tempfile.mkdtemp(prefix=f"spark_local_{cores}_", dir=SCRATCH)
     spark = get_spark(cores, app_name=f"crawl_bench_{cores}",
                       extra_conf={
                           # task-metric sampling reads the UI REST API
@@ -123,16 +121,34 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
                               "spark.ui.port": "0"} if metered else {}),
                           "spark.sql.files.maxPartitionBytes":
                           str(16 * 1024 * 1024),
+                          # the per-batch heavy caches are dominated by
+                          # image payload bytes that are ALREADY
+                          # codec-compressed — columnar-cache compression
+                          # on them doubles cache-build time at every core
+                          # count for ~no space (measured:
+                          # engine.crawl._heavy_cache_level docstring)
+                          "spark.sql.inMemoryColumnarStorage.compressed":
+                          "false",
+                          # shuffle files + cache overflow on fast scratch,
+                          # not the VM's virtual disk (a real executor's
+                          # local NVMe)
+                          "spark.local.dir": local_dir,
                           # AlwaysPreTouch: commit+zero the heap at JVM
                           # startup (before the timed region) — first-touch
                           # zeroing otherwise lands as kernel time inside
-                          # the first big batches. ParallelGC + half-heap
-                          # young gen: the parse stages are allocation-heavy
-                          # (chained regexp_replace string churn); measured
-                          # ~8% over G1 at local[32] and steadier batches.
+                          # the first big batches. G1 with a BOUNDED young
+                          # gen: the per-batch cache blocks SURVIVE while
+                          # the batch runs, and an adaptive (huge) young
+                          # gen re-copies those GBs on every young pause —
+                          # measured 2.3 s young pauses and 50-80 % of task
+                          # time in GC at local[32]; bounded: 0.27 s pauses,
+                          # GC wall cut ~6x, steady batch 2.3x faster.
+                          # (ParallelGC+half-heap-young, the round-1
+                          # setting, has the same unbounded-young flaw.)
                           "spark.driver.extraJavaOptions":
-                          "-XX:+AlwaysPreTouch -XX:+UseParallelGC "
-                          f"-Xmn{max(heap_gb // 2, 1)}g",
+                          "-XX:+AlwaysPreTouch -XX:+UseG1GC "
+                          "-XX:+UnlockExperimentalVMOptions "
+                          "-XX:G1MaxNewSizePercent=10",
                       })
     cfg = _site_cfg(site)
     # NOT persisted: each batch re-scans the corpus through the broadcast
@@ -203,6 +219,7 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(local_dir, ignore_errors=True)
 
 
 def _run_worker(cores: int, site: dict, corpus_path: str,
@@ -218,7 +235,12 @@ def _run_worker(cores: int, site: dict, corpus_path: str,
     # cluster's driver is a separate fixed-size process). The 32-thread
     # level needs >8 GB regardless (GCLocker retry aborts in Arrow/parquet
     # allocation paths under tiny heaps); the box has 125 GiB.
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{4 + (3 * cores) // 2}g")
+    # (With the heavy caches off-heap — crawl_corpus sizes
+    # spark.memory.offHeap ∝ cores — the heap holds execution memory and
+    # transient churn only; 1 GB/core + the 4 GB driver share. The old
+    # 1.5 GB/core sizing dated from the caches living ON-heap, and its
+    # AlwaysPreTouch'd-but-idle tail was pure resident-memory pressure.)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{4 + cores}g")
     # a forced periodic full GC is a stop-the-world pause whose cost is
     # core-count-independent — inside a ~4 min measured run it lands as
     # random 5-15 s stalls that swamp the level-to-level signal. One run

@@ -58,6 +58,35 @@ from . import verify as V
 
 _DEBUG_TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
 
+from pyspark import StorageLevel as _SL
+
+
+def _heavy_cache_level(spark) -> "_SL":
+    """Storage level for the per-batch HEAVY caches (raw html + image
+    payload columns): written once, read by every consumer job in the
+    batch, unpersisted at batch end. Default MEMORY_AND_DISK — but HOW the
+    blocks are built matters more than where they live (all measured on the
+    scaling corpus, 172k-URL steady batches, G1):
+
+    - in-memory columnar CACHE COMPRESSION on image payload bytes is pure
+      waste (they are already codec-compressed): cache build 2x slower at
+      every core count. Payload-heavy sessions should set
+      spark.sql.inMemoryColumnarStorage.compressed=false (bench does).
+    - an ADAPTIVE (unbounded) G1 young gen re-copies the GBs of surviving
+      cache blocks on every young pause: 2.3 s pauses, 50-80 % of task time
+      in GC at local[32]. A bounded young gen (-XX:G1MaxNewSizePercent=10)
+      promotes the blocks once and cuts GC wall ~6x.
+    - OFF_HEAP (tried as the GC fix before the two findings above) builds
+      blocks ~2x slower than on-heap uncompressed (an extra serialization
+      pass into Unsafe buffers) and lost end-to-end once young-gen was
+      bounded: steady batch 49.5 s vs 25.4 s at local[32].
+
+    SPARK_GRAFT_HEAVY_CACHE overrides for experiments."""
+    env = os.environ.get("SPARK_GRAFT_HEAVY_CACHE")
+    if env:
+        return getattr(_SL, env)
+    return _SL.MEMORY_AND_DISK
+
 
 class _Phase:
     """Per-batch phase timer. Always records into ``times`` (surfaced via
@@ -230,6 +259,7 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
         politeness = _init_politeness(frontier, cfg)
         batch_id = -1
 
+    heavy_level = _heavy_cache_level(spark)
     bloom = None
     filter_kind = cfg.seen_filter or ("bloom" if cfg.use_bloom else "")
     if filter_kind == "bloom":
@@ -247,6 +277,12 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
     batches_run = 0
     batch_stats: list[dict] = []
     tm_before = TM.sample(spark) if TM.ENABLED else None
+    commit_pool = ThreadPoolExecutor(max_workers=1)   # single-slot: sequential markers
+    commit_fut = None
+    commit_caches: list[DataFrame] = []
+    # loop-critical jobs (materialize, checkpoints) share executors FAIRly
+    # with the pipelined commit writes (pool "commit", engine/state.py)
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "loop")
     while batches_run < cfg.max_batches:
         batches_run += 1
         batch_id += 1
@@ -278,7 +314,7 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
             # real fetch stage (e.g. HTTP mapInPandas, sources/http_fetch):
             # network I/O happens on executors, politeness already bounded
             # the per-host batch upstream
-            fetched = fetcher(admitted).persist()
+            fetched = fetcher(admitted).persist(heavy_level)
         else:
             # simulated fetch: URL → page body. The admitted set (bounded by
             # the politeness budget) is broadcast into the corpus scan, so
@@ -319,7 +355,7 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
                            ("w", "int"), ("h", "int"), ("fmt", "string"),
                            ("caption", "string"), ("phash", "long")]:
                 missing = missing.withColumn(c, F.lit(None).cast(typ))
-            fetched = matched.unionByName(missing).persist()
+            fetched = matched.unionByName(missing).persist(heavy_level)
         ph.mark("admit+fetch(lazy)")
 
         ok = fetched.where(F.col("_html").isNotNull())
@@ -387,7 +423,7 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
             "web_id", FP.web_id_of(F.col("url")))
         parsed_all = FP.parse_article_pages(
             art.select("web_id", "board", "page_index", "dom_pos", "url",
-                       F.col("_html").alias("html"))).persist()
+                       F.col("_html").alias("html"))).persist(heavy_level)
         # F7: unparseable pages (PostException analog) become status rows
         # in parse_errors; everything downstream sees only parse-ok pages
         # (the reference's per-article try/except skip,
@@ -560,21 +596,45 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
         # recompute it), so their wall time hides behind the write jobs.
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         ckpt_pool = ThreadPoolExecutor(max_workers=2)
+        def _in_loop_pool(fn):
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "loop")
+            return fn()
+
         fut_frontier = ckpt_pool.submit(
+            _in_loop_pool,
             lambda: frontier_next.repartition(n_shuffle, "url")
             .localCheckpoint(eager=True))
         fut_politeness = ckpt_pool.submit(
+            _in_loop_pool,
             lambda: politeness_next.localCheckpoint(eager=True))
+        # PIPELINED COMMIT: batch k's durability writes (output tables +
+        # state + marker) run on a single-slot background thread while the
+        # loop plans and materializes batch k+1 — the loop's only serial
+        # dependency between batches is the checkpointed frontier/politeness
+        # (awaited below), not the table writes. Await-before-submit on the
+        # one-slot pool keeps commits strictly sequential, so the marker
+        # order (= resume order) is exactly the unpipelined one and a crash
+        # still leaves at most one uncommitted orphan batch. The caches a
+        # commit reads (fetched/parsed/marked/new_rows) stay persisted until
+        # ITS commit completes — unpersist is deferred one batch. Net effect:
+        # steady-state cadence = max(compute, commit) instead of their sum.
+        if commit_fut is not None:
+            commit_fut.result()
+            for df in commit_caches:
+                df.unpersist()
+            ph.mark("await previous commit")
         full_due = batch_id % cfg.compact_every == 0
-        ST.commit_batch(out_dir, batch_id,
-                        frontier=frontier_next if full_due else None,
-                        politeness=politeness_next, metrics=metrics,
-                        tables=tables,
-                        frontier_delta=None if full_due else delta)
+        commit_fut = commit_pool.submit(
+            ST.commit_batch, out_dir, batch_id,
+            frontier=frontier_next if full_due else None,
+            politeness=politeness_next, metrics=metrics,
+            tables=tables,
+            frontier_delta=None if full_due else delta)
+        commit_caches = [fetched, parsed_all, new_rows, marked]
         frontier = fut_frontier.result()
         politeness = fut_politeness.result()
         ckpt_pool.shutdown()
-        ph.mark("commit_batch + checkpoint (parallel)")
+        ph.mark("commit submit + checkpoint")
         n_rows = sum(c for c, _ in kc.values())
         stats = {
             "batch_id": batch_id,
@@ -596,10 +656,15 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
                 tm_before = tm_after
         batch_stats.append(stats)
         n_fetched_total += n_rows
-        fetched.unpersist()
-        parsed_all.unpersist()
-        new_rows.unpersist()
-        marked.unpersist()
+        # caches are unpersisted when THIS batch's background commit is
+        # awaited (top of the next iteration / after the loop)
+
+    if commit_fut is not None:
+        commit_fut.result()
+        for df in commit_caches:
+            df.unpersist()
+        commit_fut = None
+    commit_pool.shutdown()
 
     if batch_stats and batch_id % cfg.compact_every != 0:
         # cheap-read compaction: downstream consumers (store/export) read

@@ -105,6 +105,11 @@ def commit_batch(out_dir: str, batch_id: int, frontier: DataFrame | None,
     def _write(item: tuple[str, DataFrame, bool]) -> None:
         path, df, is_state = item
         t0 = time.perf_counter()
+        # commit writes run in their own FAIR pool so the crawl loop's
+        # next-batch jobs (pool "loop") share executors with them instead
+        # of queueing behind 30-45 s of payload writes (session.py conf)
+        df.sparkSession.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "commit")
         if is_state:
             _sized(df).write.mode("overwrite").parquet(path)
         else:
