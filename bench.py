@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Benchmark entry point (driver contract).
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (stdout carries nothing else; the driver's
+capture truncates, so the line stays well under 2000 chars — round 2's
+BENCH_r02.json had parsed:null because the full scaling blob rode along):
   {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec, ...},
-   "sf": ..., "crawl": {...}, "scaling": {...}}
+   "sf": ..., "crawl_urls_per_sec": N, "scaling": {<summary only>}}
+Full per-batch / per-phase / task-metric detail goes to BENCH_DETAIL.json
+next to this file; the scaling run's full blob goes to BENCH_SCALING.json.
 
 Parts:
 - headline relational/dedup/text/ann queries from pttcrawler_spark.suite at
@@ -424,28 +428,48 @@ def main() -> None:
         "cpus": cpus,
     }
 
+    detail = dict(result)
+
     if not args.skip_crawl:
         tmp = tempfile.mkdtemp(prefix="crawl_bench_corpus_", dir=SCRATCH)
         try:
             corpus_path = os.path.join(tmp, "corpus")
             prepare_corpus(spark, SITE_DEFAULT, corpus_path)
-            result["crawl"] = crawl_corpus(cpus, SITE_DEFAULT, corpus_path)
-            result["crawl_urls_per_sec"] = result["crawl"]["urls_per_sec"]
-            result["crawl_sustained_urls_per_sec"] = (
-                result["crawl"]["sustained_urls_per_sec"])
+            crawl = crawl_corpus(cpus, SITE_DEFAULT, corpus_path)
+            detail["crawl"] = crawl
+            # printed line: throughput numbers only — per-batch stats,
+            # phase medians and task metrics live in BENCH_DETAIL.json
+            for k in ("urls_per_sec", "sustained_urls_per_sec",
+                      "median_batch_urls_per_sec"):
+                result[f"crawl_{k}"] = crawl[k]
+            result["crawl_urls_fetched"] = crawl["urls_fetched"]
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
     cache = os.path.join(REPO, "BENCH_SCALING.json")
+    scaling = None
     if args.scaling or os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
-        result["scaling"] = scaling_bench(spark)
+        scaling = scaling_bench(spark)
         with open(cache, "w") as fh:
-            json.dump(result["scaling"], fh, indent=2)
+            json.dump(scaling, fh, indent=2)
     elif os.path.exists(cache):
         with open(cache) as fh:
-            result["scaling"] = {"cached": True, **json.load(fh)}
+            scaling = {"cached": True, **json.load(fh)}
+    if scaling is not None:
+        detail["scaling"] = scaling
+        summary = {k: v for k, v in scaling.items()
+                   if k == "cached" or "efficiency" in k}
+        for lvl, r in scaling.items():
+            if lvl.startswith("local[") and isinstance(r, dict):
+                summary[lvl] = r.get("sustained_urls_per_sec")
+        result["scaling"] = summary
 
-    print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=2)
+    line = json.dumps(result, separators=(",", ":"))
+    print(line)
+    print(f"[bench] line length: {len(line)} chars; full detail in "
+          f"BENCH_DETAIL.json", file=sys.stderr)
 
 
 if __name__ == "__main__":

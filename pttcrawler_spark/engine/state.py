@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -115,8 +116,10 @@ def commit_batch(out_dir: str, batch_id: int, frontier: DataFrame | None,
         else:
             df.write.mode("overwrite").option("compression", "snappy").parquet(path)
         if debug:
+            # stderr: bench.py's stdout contract is one JSON line
             print(f"        [write] {Path(path).name if 'batch=' not in Path(path).name else Path(path).parent.name}: "
-                  f"{time.perf_counter() - t0:.2f}s", flush=True)
+                  f"{time.perf_counter() - t0:.2f}s", flush=True,
+                  file=sys.stderr)
 
     with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
         list(ex.map(_write, jobs))  # list() re-raises the first failure

@@ -2201,8 +2201,41 @@ ORACLE_SQL: dict[str, str] = {
 
 def queries():
     """name → callable(spark, sf_dir) → DataFrame. Superset of ORACLE_SQL
-    keys: entries without an oracle get the driver's rows-only check."""
+    keys: entries without an oracle get the driver's rows-only check.
+
+    ORDER MATTERS: the driver records correctness rows for the first ~50
+    entries in insertion order. Rounds 1-2 left 23 keys without a green
+    driver row (4 round-1 hash-fails fixed in round 2 but pushed past the
+    window, plus 19 keys added mid-dict in round 2) — those lead here so
+    CORRECTNESS_r03 attests them; the keys already green in r01/r02 fill
+    the remainder."""
     q = {
+        # -- never driver-attested (r1 fails fixed in r2, then the r2
+        # additions that fell past the 50-key window) --
+        "img_decode_stats": img_decode_stats,
+        "img_resize_thumb": img_resize_thumb,
+        "stream_sessionize": stream_sessionize,
+        "events_json_extract": events_json_extract,
+        "text_ngram_lm_score": text_ngram_lm_score,
+        "img_phash_dedup": img_phash_dedup,
+        "img_phash_near_dup": img_phash_near_dup,
+        "img_dedup_bytes": img_dedup_bytes,
+        "img_aspect_bucket": img_aspect_bucket,
+        "img_phash_cluster": img_phash_cluster,
+        "img_verify_psnr": img_verify_psnr,
+        "text_gopher_rules": text_gopher_rules,
+        "sample_stratified": sample_stratified,
+        "j8_asof_join": j8_asof_join,
+        "j9_ip_range_lookup": j9_ip_range_lookup,
+        "kmeans_lloyd": kmeans_lloyd,
+        "f13_url_canonical": f13_url_canonical,
+        "a7_skew_agg": a7_skew_agg,
+        "a8_percentile": a8_percentile,
+        "av_frame_sample": av_frame_sample,
+        "av_audio_features": av_audio_features,
+        "f6_content_clean": f6_content_clean,
+        "f7_transcription": f7_transcription,
+        # -- keys with green rows in CORRECTNESS_r01/r02 --
         "flagship_tw_report": flagship_tw_report,
         "p1_point_lookup": p1_point_lookup,
         "p2_conj_filter": p2_conj_filter,
@@ -2253,32 +2286,7 @@ def queries():
         "text_fingerprint": text_fingerprint,
         "text_pii_scrub": text_pii_scrub,
         "text_repetition": text_repetition,
-        "text_ngram_lm_score": text_ngram_lm_score,
         "text_top_tokens": text_top_tokens,
         "stream_tumbling_agg": stream_tumbling_agg,
-        "stream_sessionize": stream_sessionize,
-        "events_json_extract": events_json_extract,
-        # img_phash_dedup is oracle-backed via a driver-side fixture table;
-        # decode_stats/resize stay rows-only (tests/test_image_ops.py goldens)
-        "img_decode_stats": img_decode_stats,
-        "img_resize_thumb": img_resize_thumb,
-        "img_phash_dedup": img_phash_dedup,
-        "img_phash_near_dup": img_phash_near_dup,
-        "img_dedup_bytes": img_dedup_bytes,
-        "img_aspect_bucket": img_aspect_bucket,
-        "img_phash_cluster": img_phash_cluster,
-        "img_verify_psnr": img_verify_psnr,
-        "text_gopher_rules": text_gopher_rules,
-        "sample_stratified": sample_stratified,
-        "j8_asof_join": j8_asof_join,
-        "j9_ip_range_lookup": j9_ip_range_lookup,
-        "kmeans_lloyd": kmeans_lloyd,
-        "f13_url_canonical": f13_url_canonical,
-        "a7_skew_agg": a7_skew_agg,
-        "a8_percentile": a8_percentile,
-        "av_frame_sample": av_frame_sample,
-        "av_audio_features": av_audio_features,
-        "f6_content_clean": f6_content_clean,
-        "f7_transcription": f7_transcription,
     }
     return q
