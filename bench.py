@@ -117,6 +117,14 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
     # host_salt and this knob is sized per executor count the same way.
     metered = os.environ.get("SPARK_GRAFT_TASK_METRICS") == "1"
     local_dir = tempfile.mkdtemp(prefix=f"spark_local_{cores}_", dir=SCRATCH)
+    # A/B knobs for the bench-worker JVM (defaults = committed config);
+    # used to bisect config regressions on this noisy host — see
+    # BASELINE.md scaling notes for the measured outcomes per variant
+    java_opts = os.environ.get(
+        "SPARK_GRAFT_BENCH_JAVA_OPTS",
+        "-XX:+AlwaysPreTouch -XX:+UseG1GC "
+        "-XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=10")
+    cache_compressed = os.environ.get("SPARK_GRAFT_CACHE_COMPRESSED", "false")
     spark = get_spark(cores, app_name=f"crawl_bench_{cores}",
                       extra_conf={
                           # task-metric sampling reads the UI REST API
@@ -132,7 +140,7 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
                           # count for ~no space (measured:
                           # engine.crawl._heavy_cache_level docstring)
                           "spark.sql.inMemoryColumnarStorage.compressed":
-                          "false",
+                          cache_compressed,
                           # shuffle files + cache overflow on fast scratch,
                           # not the VM's virtual disk (a real executor's
                           # local NVMe)
@@ -149,10 +157,7 @@ def crawl_corpus(cores: int, site: dict, corpus_path: str) -> dict:
                           # GC wall cut ~6x, steady batch 2.3x faster.
                           # (ParallelGC+half-heap-young, the round-1
                           # setting, has the same unbounded-young flaw.)
-                          "spark.driver.extraJavaOptions":
-                          "-XX:+AlwaysPreTouch -XX:+UseG1GC "
-                          "-XX:+UnlockExperimentalVMOptions "
-                          "-XX:G1MaxNewSizePercent=10",
+                          "spark.driver.extraJavaOptions": java_opts,
                       })
     cfg = _site_cfg(site)
     # NOT persisted: each batch re-scans the corpus through the broadcast
@@ -379,6 +384,20 @@ def scaling_bench(spark, levels=SCALING_LEVELS) -> dict:
                 ratio = (out[f"local[{hi}]"][key] / out[f"local[{lo}]"][key])
                 out[f"speedup_{tag}_{lo}to{hi}"] = round(ratio, 3)
                 out[f"efficiency_{tag}_{lo}to{hi}"] = round(ratio / (hi / lo), 3)
+            # crawl efficiency READ AGAINST the host's own same-run ceiling:
+            # the crawl batch is a memory-streaming workload, so its
+            # attainable N→4N efficiency is bounded by min(pure-CPU,
+            # memory-bandwidth) scaling of this VM at the same levels —
+            # anything this ratio leaves on the table is the ENGINE's to fix,
+            # anything above it is the host's.
+            cpu = out["host_cpu_sustained_Mops"]
+            mem = out["host_mem_stream_GBps"]
+            cpu_eff = (cpu[str(hi)] / cpu[str(lo)]) / (hi / lo)
+            mem_eff = (mem[str(hi)] / mem[str(lo)]) / (hi / lo)
+            ceiling = min(cpu_eff, mem_eff)
+            out[f"host_ceiling_efficiency_{lo}to{hi}"] = round(ceiling, 3)
+            out[f"crawl_vs_host_ceiling_{lo}to{hi}"] = round(
+                out[f"efficiency_sustained_{lo}to{hi}"] / ceiling, 3)
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

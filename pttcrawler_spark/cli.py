@@ -140,6 +140,15 @@ def build_parser() -> argparse.ArgumentParser:
     pd_ = act.add_parser("run-due")
     pd_.add_argument("--now", type=valid_datetime_minute_type, default=None)
 
+    # alembic-CLI analog (db_migration/versions/*): upgrade a store's
+    # on-disk state layout along engine/migrate.py's revision chain
+    pm = sub.add_parser("migrate", parents=[base])
+    act_m = pm.add_subparsers(dest="action", required=True)
+    up_ = act_m.add_parser("upgrade")
+    up_.add_argument("--revision", type=str, default="head",
+                     help='target revision (default "head")')
+    act_m.add_parser("current")
+
     pq = sub.add_parser("query", parents=[base])
     pq.add_argument("--board-name", type=str.lower, required=True)
     pq.add_argument("--date-range", type=str, nargs=2, required=True,
@@ -377,6 +386,22 @@ def cmd_schedule(args, cfg) -> int:
     return 0
 
 
+def cmd_migrate(args, cfg) -> int:
+    from .engine import migrate as M
+    store = _store_dir(args, cfg)
+    if args.action == "current":
+        print(M.revision(store))
+        return 0
+    rev = M.HEAD if args.revision == "head" else args.revision
+    spark = _spark(args)
+    applied = M.migrate_state(spark, store, rev)
+    for r, n in applied.items():
+        print(f"{r}: {n} dirs rewritten")
+    if not applied:
+        print(f"already at {M.revision(store)}")
+    return 0
+
+
 COMMANDS = {
     "article": cmd_article,
     "article_index": cmd_article_index,
@@ -385,6 +410,7 @@ COMMANDS = {
     "export": cmd_export,
     "query": cmd_query,
     "schedule": cmd_schedule,
+    "migrate": cmd_migrate,
 }
 
 

@@ -399,6 +399,31 @@ def a8_percentile(spark, sf_dir):
                  F.count("*").alias("n")))
 
 
+def a8b_percentile_approx(spark, sf_dir):
+    """The SCALE path of a8: `approx_percentile` (KLL/GK sketch — mergeable
+    map-side partials, O(sketch) per group instead of buffering every
+    value, the only viable plan for 10^8-member groups). A sketch value
+    can't be hash-compared to DuckDB, so the query attests its own error
+    contract instead: with accuracy=10000 the returned value's rank is
+    within ±n/10000 of target, so it must lie inside the EXACT interpolated
+    [q-0.01, q+0.01] percentile window computed in the same single-shuffle
+    aggregate. The oracle pins every within-tolerance flag to true — the
+    hash matches iff the sketch really met its bound on this data."""
+    qs = [0.5, 0.95, 0.99]
+    lo = [max(q - 0.01, 0.0) for q in qs]
+    hi = [min(q + 0.01, 1.0) for q in qs]
+    agg = (t(spark, sf_dir, "events")
+           .groupBy("event_type")
+           .agg(F.count("*").alias("n"),
+                F.expr(f"approx_percentile(value, array({','.join(map(str, qs))}), 10000)").alias("ap"),
+                F.expr(f"percentile(value, array({','.join(map(str, lo))}))").alias("lo"),
+                F.expr(f"percentile(value, array({','.join(map(str, hi))}))").alias("hi")))
+    flags = [((F.col("ap")[i] >= F.col("lo")[i])
+              & (F.col("ap")[i] <= F.col("hi")[i])).alias(f"p{int(q * 100)}_within_tol")
+             for i, q in enumerate(qs)]
+    return agg.select("event_type", "n", *flags)
+
+
 def f13_url_canonical(spark, sf_dir):
     """URL canonicalization as the SEEN-SET key (functions/url.canonicalize
     — the north star's 'canonicalized murmur3-hashed URLs'; the reference
@@ -1973,6 +1998,14 @@ ORACLE_SQL: dict[str, str] = {
                quantile_cont(value, 0.99) AS p99,
                count(*) AS n
         FROM events GROUP BY event_type""",
+    # the oracle IS the tolerance contract: every sketch percentile must
+    # land inside the exact +/-0.01 quantile window (see a8b docstring)
+    "a8b_percentile_approx": """
+        SELECT event_type, count(*) AS n,
+               true AS p50_within_tol,
+               true AS p95_within_tol,
+               true AS p99_within_tol
+        FROM events GROUP BY event_type""",
     "a7_skew_agg": """
         WITH ev AS (
           SELECT CASE WHEN event_id % 10 < 9 THEN 'hot.ptt.cc'
@@ -2231,6 +2264,7 @@ def queries():
         "f13_url_canonical": f13_url_canonical,
         "a7_skew_agg": a7_skew_agg,
         "a8_percentile": a8_percentile,
+        "a8b_percentile_approx": a8b_percentile_approx,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,

@@ -87,6 +87,19 @@ def test_asn_ip_list():
     assert "1.2.3.4" in cp.stdout and "5.6.7.8" in cp.stdout
 
 
+def test_migrate_cli_roundtrip(store):
+    # fresh stores are written at the head layout; `current` defaults to
+    # the oldest revision until a stamp exists, and upgrade is then a
+    # no-op that stamps head (every step idempotently skips)
+    cp = run_cli("migrate", "--store", store, "current")
+    assert cp.returncode == 0 and cp.stdout.strip() == "r1_initial"
+    cp = run_cli("migrate", "--store", store, "--cores", "2", "upgrade")
+    assert cp.returncode == 0, cp.stderr[-2000:]
+    assert "0 dirs rewritten" in cp.stdout
+    cp = run_cli("migrate", "--store", store, "current")
+    assert cp.stdout.strip() == "r4_robots_nullable"
+
+
 def test_bad_args_rejected():
     # mutually-exclusive input group enforced like crawler_arg.py
     cp = run_cli("article", "--board-name", "b", "--add",

@@ -196,3 +196,12 @@ def test_verify_psnr_no_shuffle(spark):
     plan = _plan(spark, "img_verify_psnr")
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") >= 2
+
+
+def test_percentile_approx_single_exchange(spark):
+    """a8b: sketch + exact-window check live in ONE aggregate — a second
+    Exchange would mean the tolerance check added a self-join/shuffle."""
+    plan = _plan(spark, "a8b_percentile_approx")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "approx_percentile" in plan
