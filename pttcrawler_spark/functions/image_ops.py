@@ -93,6 +93,71 @@ def build_images_df(ids: DataFrame, id_col: str = "image_id",
         .mapInPandas(gen, schema=IMAGES_DDL)
 
 
+def build_images_with_crops(ids: DataFrame, id_col: str = "image_id",
+                            crop_every: int = 4, w: int = 48, h: int = 48,
+                            crop_w: int = 32, crop_h: int = 32) -> DataFrame:
+    """Base image per id at (w,h) png, PLUS — for ids divisible by
+    ``crop_every`` — a ``c<id>`` row whose pixels are the top-left
+    (crop_w, crop_h) crop of the base. Lossless png keeps crop pixels
+    byte-identical to the source region, so tile-level dedup
+    (:func:`tile_phash`) must find them; full-image phash must NOT (the
+    crop shifts every 8x8 block boundary relative to the source grid)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col].astype(str):
+                px = img.make_pixels(i, w, h)
+                rows.append({"image_id": i, "bytes": img.encode(px, "png"),
+                             "w": w, "h": h, "fmt": "png",
+                             "caption": f"caption {i}",
+                             "phash": img.phash64(px)})
+                if int(i) % crop_every == 0:
+                    cpx = px[:crop_h, :crop_w]
+                    rows.append({"image_id": f"c{i}",
+                                 "bytes": img.encode(cpx, "png"),
+                                 "w": crop_w, "h": crop_h, "fmt": "png",
+                                 "caption": f"caption c{i}",
+                                 "phash": img.phash64(cpx)})
+            out = pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=[c.split(" ")[0] for c in IMAGES_DDL.split(", ")])
+            if len(rows):
+                out["phash"] = pd.array([r["phash"] for r in rows], dtype="Int64")
+            yield out
+
+    return ids.select(F.col(id_col).cast("string").alias(id_col)) \
+        .mapInPandas(gen, schema=IMAGES_DDL)
+
+
+TILE_DDL = "image_id string, tx int, ty int, tile_hash long"
+
+
+def tile_phash(images: DataFrame, tile: int = 16) -> DataFrame:
+    """Per-aligned-tile perceptual hash: decode, split into the (w//tile x
+    h//tile) grid, phash each tile. The crop-resistant dedup key — a
+    top-left-anchored crop reproduces the source's tile grid over the
+    shared region, where full-image phash sees two unrelated images."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, b in zip(pdf["image_id"].astype(str), pdf["bytes"]):
+                px = img.decode(bytes(b))
+                hh, ww = px.shape[:2]
+                for ty in range(hh // tile):
+                    for tx in range(ww // tile):
+                        t = px[ty * tile:(ty + 1) * tile,
+                               tx * tile:(tx + 1) * tile]
+                        rows.append((iid, tx, ty, img.phash64(t)))
+            out = pd.DataFrame(rows, columns=["image_id", "tx", "ty",
+                                              "tile_hash"])
+            out["tx"] = out["tx"].astype("int32") if len(rows) else out["tx"]
+            out["ty"] = out["ty"].astype("int32") if len(rows) else out["ty"]
+            if len(rows):
+                out["tile_hash"] = pd.array(out["tile_hash"], dtype="Int64")
+            yield out
+
+    return images.select("image_id", "bytes").mapInPandas(run, schema=TILE_DDL)
+
+
 DECODE_STATS_DDL = ("image_id string, mean_r double, mean_g double, "
                     "mean_b double, std_gray double, aspect double, "
                     "decode_ok boolean")

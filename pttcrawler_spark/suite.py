@@ -839,6 +839,35 @@ def text_fingerprint(spark, sf_dir):
             .select("doc_id", F.md5(norm).alias("fingerprint")))
 
 
+def text_substr_dedup(spark, sf_dir):
+    """Cross-document repeated-substring detection — the distributed
+    approximation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): suffix arrays are a
+    single-node luxury, the cluster path is hashed fixed-width grams.
+    Every 32-char window at stride 16 becomes a gram; a gram seen in >=2
+    distinct docs marks a duplicated span; per-doc count of such grams is
+    the dedup signal. Two shuffles, both on the gram hash: the explode is
+    the big intermediate (rows = chars/16), so the gram is reduced to a
+    64-bit md5 prefix before either shuffle — at 100 TB the wide text
+    column never moves, only (hash64, doc_id) pairs; stride controls the
+    blowup and AQE handles the skew of boilerplate grams."""
+    docs = t(spark, sf_dir, "documents").where(F.length("text") >= 32)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, length(text) - 31, 16),"
+            "          i -> substr(text, i, 32))")).alias("g"))
+    # 64-bit hash proxy for the shuffle (exact-gram collision odds at
+    # 10^10 grams ~ birthday(2^64) — negligible, and the oracle twin
+    # below hashes identically so the comparison stays exact)
+    grams = grams.select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+    dup = (grams.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .where(F.col("nd") >= 2))
+    return (grams.join(dup.select("h"), "h")
+            .groupBy("doc_id").agg(F.count("*").alias("n_dup_grams")))
+
+
 def text_top_tokens(spark, sf_dir):
     """Global token frequency top-10 (explode + agg + deterministic top-k)."""
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
@@ -1031,6 +1060,28 @@ def img_phash_near_dup(spark, sf_dir):
         F.bit_count(F.col("p1").bitwiseXOR(F.col("p2")))
         .cast("int").alias("hamming"))
         .where(F.col("hamming") <= 27))
+
+
+def img_crop_dup(spark, sf_dir):
+    """CROP-resistant image near-dup: per-aligned-tile phash (16px grid)
+    instead of one whole-image hash. A top-left 32x32 crop of a 48x48
+    source shares its 2x2 block of tiles byte-for-byte, so the tile-hash
+    equi-join finds (source, crop) pairs that whole-image phash misses
+    entirely (every 8x8 phash block shifts). Plan shape at scale: tiles =
+    O(9n) narrow rows, bucketed equi-join on tile_hash, partial-agg pair
+    count — no cartesian, same family as dedup_minhash_lsh's band join.
+    Oracle: independent numpy tile-hash fixture
+    (tests/fixtures/gen_img_tiles40.py) joined the same way."""
+    from .functions import image_ops as IMG
+    ids = _doc_image_ids(spark, sf_dir, modulo=40).distinct()
+    tiles = IMG.tile_phash(IMG.build_images_with_crops(ids))
+    a = tiles.select(F.col("image_id").alias("id_a"), "tile_hash")
+    b = tiles.select(F.col("image_id").alias("id_b"), "tile_hash")
+    return (a.join(b, "tile_hash")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared_tiles"))
+            .where(F.col("shared_tiles") >= 4))
 
 
 def img_phash_cluster(spark, sf_dir):
@@ -1998,6 +2049,29 @@ ORACLE_SQL: dict[str, str] = {
                quantile_cont(value, 0.99) AS p99,
                count(*) AS n
         FROM events GROUP BY event_type""",
+    # independent numpy tile-hash fixture joined exactly like the Spark
+    # side; base_id restricts to ids derivable from documents at this sf
+    "img_crop_dup": """
+        WITH ids AS (SELECT DISTINCT CAST(doc_id % 40 AS VARCHAR) AS bid
+                     FROM documents),
+        t AS (SELECT f.* FROM '/root/repo/tests/fixtures/img_tiles40.parquet' f
+              JOIN ids ON f.base_id = ids.bid)
+        SELECT a.image_id AS id_a, b.image_id AS id_b,
+               count(*) AS shared_tiles
+        FROM t a JOIN t b ON a.tile_hash = b.tile_hash
+                         AND a.image_id < b.image_id
+        GROUP BY 1, 2 HAVING count(*) >= 4""",
+    "text_substr_dedup": """
+        WITH grams AS (
+          SELECT doc_id,
+                 substr(md5(unnest(list_transform(
+                     range(1, greatest(length(text) - 31, 0) + 1, 16),
+                     i -> substr(text, CAST(i AS INT), 32)))), 1, 16) AS h
+          FROM documents WHERE length(text) >= 32),
+        dup AS (
+          SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        SELECT doc_id, count(*) AS n_dup_grams
+        FROM grams JOIN dup USING (h) GROUP BY doc_id""",
     # the oracle IS the tolerance contract: every sketch percentile must
     # land inside the exact +/-0.01 quantile window (see a8b docstring)
     "a8b_percentile_approx": """
@@ -2265,6 +2339,8 @@ def queries():
         "a7_skew_agg": a7_skew_agg,
         "a8_percentile": a8_percentile,
         "a8b_percentile_approx": a8b_percentile_approx,
+        "text_substr_dedup": text_substr_dedup,
+        "img_crop_dup": img_crop_dup,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,
