@@ -424,6 +424,42 @@ def a8b_percentile_approx(spark, sf_dir):
     return agg.select("event_type", "n", *flags)
 
 
+def a9_rollup(spark, sf_dir):
+    """Grouping-sets aggregation (ROLLUP): per-(returnflag, linestatus)
+    totals plus the per-returnflag and grand-total superaggregates in ONE
+    pass. Catalyst plans rollup as an Expand (each input row emitted once
+    per grouping set) feeding a single partial-aggregatable shuffle — at
+    100 TB that is 3x map-side rows but still one shuffle keyed on the
+    grouping-set id + keys, vs three separate scans+shuffles for the naive
+    union. grouping_id() disambiguates the NULL-as-subtotal rows exactly
+    like DuckDB's GROUPING(). Quantities are integral, so the BIGINT cast
+    keeps the value-hash representation-stable (round-1 lesson)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().alias("gid"),
+                 F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+                 F.count("*").alias("n"))
+            .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n"))
+
+
+def a10_hll_distinct(spark, sf_dir):
+    """Approx distinct-count (HyperLogLog++) graded like a8b: the sketch
+    can't be hash-compared to an oracle, so the query attests its own
+    error contract in the same aggregate. Exact count_distinct buffers
+    every key per group (two-phase expand at scale); HLL++ is one
+    mergeable O(kB)-per-group sketch pass — the only viable plan for
+    10^9-cardinality groups. rsd=0.01 ⇒ stderr ~1% of the true count;
+    the flag allows 5σ. The oracle pins every flag true, so a hash match
+    certifies the sketch met its bound on this data."""
+    ev = t(spark, sf_dir, "events")
+    agg = (ev.groupBy("event_type")
+           .agg(F.count_distinct("user_id").alias("n_exact"),
+                F.expr("approx_count_distinct(user_id, 0.01)").alias("ap")))
+    within = (F.abs(F.col("ap") - F.col("n_exact"))
+              <= F.col("n_exact") * 0.05).alias("within_tol")
+    return agg.select("event_type", "n_exact", within)
+
+
 def f13_url_canonical(spark, sf_dir):
     """URL canonicalization as the SEEN-SET key (functions/url.canonicalize
     — the north star's 'canonicalized murmur3-hashed URLs'; the reference
@@ -2072,6 +2108,21 @@ ORACLE_SQL: dict[str, str] = {
           SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
         SELECT doc_id, count(*) AS n_dup_grams
         FROM grams JOIN dup USING (h) GROUP BY doc_id""",
+    # ROLLUP superaggregates: DuckDB GROUPING() bit order (first arg = MSB)
+    # matches Spark grouping_id()
+    "a9_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    # the oracle IS the tolerance contract (a8b pattern): the HLL estimate
+    # must land within 5 sigma of the exact per-group distinct count
+    "a10_hll_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS n_exact,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type""",
     # the oracle IS the tolerance contract: every sketch percentile must
     # land inside the exact +/-0.01 quantile window (see a8b docstring)
     "a8b_percentile_approx": """
@@ -2345,6 +2396,8 @@ def queries():
         "av_audio_features": av_audio_features,
         "f6_content_clean": f6_content_clean,
         "f7_transcription": f7_transcription,
+        "a9_rollup": a9_rollup,
+        "a10_hll_distinct": a10_hll_distinct,
         # -- keys with green rows in CORRECTNESS_r01/r02 --
         "flagship_tw_report": flagship_tw_report,
         "p1_point_lookup": p1_point_lookup,

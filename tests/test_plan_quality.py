@@ -88,6 +88,35 @@ def test_ivf_topk_probes_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_substr_dedup_hash_before_shuffle(spark):
+    # text_substr_dedup: both shuffles key on the 64-bit gram hash; the
+    # wide text column must never reach an Exchange (only doc_id + h move)
+    plan = _plan(spark, "text_substr_dedup")
+    assert "CartesianProduct" not in plan
+    for i, ln in enumerate(plan.splitlines()):
+        if ln.strip().startswith("Arguments: hashpartitioning"):
+            assert "text#" not in ln
+
+
+def test_crop_dup_equi_join(spark):
+    # img_crop_dup: candidate pairs come from an equi-join on tile_hash —
+    # the tile-grid analog of LSH banding, never an all-pairs product
+    plan = _plan(spark, "img_crop_dup")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
+
+
+def test_rollup_single_expand_shuffle(spark):
+    # a9_rollup: grouping sets plan = one Expand feeding a partial
+    # aggregate — NOT three scans unioned
+    plan = _plan(spark, "a9_rollup")
+    assert "Expand" in plan
+    assert "Union" not in plan                # one Expand, not 3 scans unioned
+    assert plan.count("InMemoryFileIndex") == 1   # single scan of lineitem
+    assert plan.count("HashAggregate") >= 2   # partial + final
+
+
 def test_cluster_cc_no_cartesian(spark):
     # connected components: every propagation round is an equi-join on
     # doc_id — an all-pairs product would defeat the LSH pruning upstream
