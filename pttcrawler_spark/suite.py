@@ -856,6 +856,49 @@ def text_token_count(spark, sf_dir):
             .select("doc_id", F.size(_words(F.col("text"))).alias("n_tokens")))
 
 
+def text_token_count_bpe(spark, sf_dir):
+    """BPE-style token counting: the GPT-2 pre-tokenizer's split classes
+    (leading-space word / number / punctuation runs, whitespace runs) as a
+    single regexp_extract_all — the standard train-data token budget proxy
+    when running the real BPE merge table per row would be a Python UDF.
+    The class regex is the RE2/Java-common subset so Spark codegen and the
+    DuckDB oracle tokenize identically; count-only output keeps the 100-TB
+    plan a pure JVM map (no explode, no shuffle before nothing — there is
+    no agg at all)."""
+    pat = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+                    .cast("bigint").alias("n_bpe_tokens")))
+
+
+def text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003, MOSS): a
+    polynomial rolling hash over every 8-char gram, then the minimum hash
+    of each 4-hash window — the classic local fingerprint set whose
+    guarantee (any ≥11-char shared substring yields a shared fingerprint)
+    underpins plagiarism/copy detection. All arithmetic is mod 2^31-1 with
+    precomputed 257^j coefficients so every intermediate fits signed-64 on
+    both engines and Spark matches the DuckDB oracle bit-for-bit. Per-doc
+    JVM array expressions only — no explode, no shuffle; at 100 TB the
+    fingerprint SET (distinct count + additive digest here) is what you'd
+    band-join, exactly like dedup_minhash_lsh's signature."""
+    P = 2147483647
+    cs = [pow(257, j, P) for j in range(7, -1, -1)]
+    poly = " + ".join(
+        f"ascii(substr(text, i + {j}, 1)) * {c}L" for j, c in enumerate(cs))
+    docs = t(spark, sf_dir, "documents").where(F.length("text") >= 11)
+    hs = docs.select("doc_id", F.expr(
+        f"transform(sequence(1, length(text) - 7), i -> ({poly}) % {P})")
+        .alias("hs"))
+    fps = hs.select("doc_id", F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 0)), "
+        "p -> array_min(slice(hs, p, 4))))").alias("fps"))
+    return fps.select(
+        "doc_id", F.size("fps").cast("bigint").alias("n_fp"),
+        F.expr("aggregate(fps, 0L, (a, x) -> a + x)").alias("fp_digest"))
+
+
 def text_quality_score(spark, sf_dir):
     """Quality scoring: length + stopword-ratio heuristic."""
     words = _words(F.col("text"))
@@ -2108,6 +2151,31 @@ ORACLE_SQL: dict[str, str] = {
           SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
         SELECT doc_id, count(*) AS n_dup_grams
         FROM grams JOIN dup USING (h) GROUP BY doc_id""",
+    # winnowing fingerprints: identical mod-2^31-1 polynomial rolling hash
+    # + window-min selection on both engines (see text_winnow_fingerprint)
+    "text_winnow_fingerprint": """
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) - 6),
+                     i -> (CAST(ascii(substr(text, CAST(i + 0 AS INT), 1)) AS BIGINT) * 623063367 + CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) * 336663071 + CAST(ascii(substr(text, CAST(i + 2 AS INT), 1)) AS BIGINT) * 168429323 + CAST(ascii(substr(text, CAST(i + 3 AS INT), 1)) AS BIGINT) * 67503107 + CAST(ascii(substr(text, CAST(i + 4 AS INT), 1)) AS BIGINT) * 16974593 + CAST(ascii(substr(text, CAST(i + 5 AS INT), 1)) AS BIGINT) * 66049 + CAST(ascii(substr(text, CAST(i + 6 AS INT), 1)) AS BIGINT) * 257 + CAST(ascii(substr(text, CAST(i + 7 AS INT), 1)) AS BIGINT) * 1) % 2147483647) AS hs
+          FROM documents WHERE length(text) >= 11),
+        w AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(1, greatest(len(hs) - 3, 0) + 1),
+                     p -> list_min(list_slice(hs, p, p + 3)))) AS fps
+          FROM h)
+        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+               CAST(list_sum(fps) AS BIGINT) AS fp_digest
+        FROM w""",
+    # GPT-2-pretokenizer class regex — identical RE2/Java-subset pattern on
+    # both engines, so the token counts match exactly
+    "text_token_count_bpe": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                   text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents""",
     # ROLLUP superaggregates: DuckDB GROUPING() bit order (first arg = MSB)
     # matches Spark grouping_id()
     "a9_rollup": """
@@ -2398,6 +2466,8 @@ def queries():
         "f7_transcription": f7_transcription,
         "a9_rollup": a9_rollup,
         "a10_hll_distinct": a10_hll_distinct,
+        "text_token_count_bpe": text_token_count_bpe,
+        "text_winnow_fingerprint": text_winnow_fingerprint,
         # -- keys with green rows in CORRECTNESS_r01/r02 --
         "flagship_tw_report": flagship_tw_report,
         "p1_point_lookup": p1_point_lookup,
