@@ -63,8 +63,11 @@ HEADLINE = [
     "img_verify_psnr",
 ]
 
-# default crawl microbench site (≈22k URLs, ~7k-article steady batches)
-SITE_DEFAULT = {"n_boards": 128, "pages_per_board": 3, "articles_per_page": 64,
+# default crawl microbench site (≈99k URLs, ~33k-article steady batches —
+# big enough that the ~3-4 s per-batch fixed cost is <15% of a steady batch
+# at local[32]; the tiny 64-articles/page site reported a third of the
+# engine's sustained rate for fixed-cost reasons alone)
+SITE_DEFAULT = {"n_boards": 128, "pages_per_board": 3, "articles_per_page": 256,
                 "img_w": 64, "img_h": 64}
 # scaling site: wide pages (~172k-article steady batches) so executor-parallel
 # compute dominates the per-batch fixed cost — the sandbox stand-in for
@@ -477,7 +480,7 @@ def main() -> None:
     if scaling is not None:
         detail["scaling"] = scaling
         summary = {k: v for k, v in scaling.items()
-                   if k == "cached" or "efficiency" in k}
+                   if k == "cached" or "efficiency" in k or "ceiling" in k}
         for lvl, r in scaling.items():
             if lvl.startswith("local[") and isinstance(r, dict):
                 summary[lvl] = r.get("sustained_urls_per_sec")
