@@ -512,17 +512,31 @@ def dedup_exact(spark, sf_dir):
             .where(F.col("n_copies") >= 2))
 
 
-def _shingles(col, n=3):
-    words = _words(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.array_join(
-        F.slice(words, i, n), " ")))
+def _shingles_of_words(words, n=3):
+    """Word n-gram shingle array via zip_with over n shifted slices.
+
+    Deliberately NOT ``transform(sequence(...), i -> join(slice(words, i,
+    n)))``: any free sub-expression inside a lambda BODY is re-evaluated
+    per element, and CollapseProject happily inlines the upstream
+    ``split(text)`` into the lambda — making the regex split run once per
+    shingle INDEX (measured 12× slower on dedup_minhash_lsh at sf0.1).
+    Here every lambda body touches only its own lambda variables; the
+    slices/size reference ``words`` a constant number of times per doc, so
+    the plan stays O(words) no matter how Catalyst collapses projections."""
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    out = F.slice(words, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(out, F.slice(words, j + 1, m),
+                         lambda acc, w_: F.concat(acc, F.lit(" "), w_))
+    return F.array_distinct(out)
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
     """N-gram Jaccard near-dup pairs within a language partition."""
     docs = (t(spark, sf_dir, "documents")
-            .select("doc_id", "lang", _shingles(F.col("text")).alias("sh")))
+            .select("doc_id", "lang", _words(F.col("text")).alias("ws"))
+            .select("doc_id", "lang",
+                    _shingles_of_words(F.col("ws")).alias("sh")))
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -641,9 +655,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     the same hex prefix via CAST('0x…' AS BIGINT), Spark via conv(,16,10)).
     28-bit coordinates are plenty below ~10^7 shingles per doc-set slice;
     widen the fold to 14 hex chars if collisions ever matter."""
+    # the "has any shingle" gate is equivalently "has >= 3 words" — filter
+    # on the CHEAP bound column, never on size(sh): a pushed-down filter on
+    # the shingle expression would inline (and re-evaluate) the whole
+    # transform+split per doc a second time
     docs = (t(spark, sf_dir, "documents")
-            .select("doc_id", _shingles(F.col("text")).alias("sh"))
-            .where(F.size("sh") > 0))
+            .select("doc_id", _words(F.col("text")).alias("ws"))
+            .where(F.size("ws") >= 3)
+            .select("doc_id", _shingles_of_words(F.col("ws")).alias("sh")))
     # Vectorized formulation: explode shingles so md5/fold/mixes are
     # TOP-LEVEL columns (whole-stage codegen), never lambdas inside
     # higher-order array functions (those run on the interpreted expression
