@@ -45,6 +45,16 @@ IMAGES_DDL = ("image_id string, bytes binary, w int, h int, fmt string, "
 VARIED_DIMS = [(32, 32), (48, 32), (32, 48), (64, 32), (40, 56)]
 
 
+def _spread(ids: DataFrame, id_col: str) -> DataFrame:
+    """Cast the id column and spread rows across the cluster before the
+    Python stage. The id source is typically a small dimension scan (1-2
+    input splits), and mapInPandas parallelism = input partitions — without
+    this, 32 cores run 1-2 Python workers (measured: img_verify_psnr 6.7 s
+    → 1.3 s at sf0.1/local[32]). The shuffle moves only id strings."""
+    out = ids.select(F.col(id_col).cast("string").alias(id_col))
+    return out.repartition(out.sparkSession.sparkContext.defaultParallelism)
+
+
 def build_images_df_varied(ids: DataFrame,
                            id_col: str = "image_id") -> DataFrame:
     """Like :func:`build_images_df` but each id gets seed-chosen dimensions
@@ -65,8 +75,7 @@ def build_images_df_varied(ids: DataFrame,
                 out["phash"] = pd.array([r["phash"] for r in rows], dtype="Int64")
             yield out
 
-    return ids.select(F.col(id_col).cast("string").alias(id_col)) \
-        .mapInPandas(gen, schema=IMAGES_DDL)
+    return _spread(ids, id_col).mapInPandas(gen, schema=IMAGES_DDL)
 
 
 def build_images_df(ids: DataFrame, id_col: str = "image_id",
@@ -89,8 +98,7 @@ def build_images_df(ids: DataFrame, id_col: str = "image_id",
                 out["phash"] = pd.array([r["phash"] for r in rows], dtype="Int64")
             yield out
 
-    return ids.select(F.col(id_col).cast("string").alias(id_col)) \
-        .mapInPandas(gen, schema=IMAGES_DDL)
+    return _spread(ids, id_col).mapInPandas(gen, schema=IMAGES_DDL)
 
 
 def build_images_with_crops(ids: DataFrame, id_col: str = "image_id",
@@ -124,8 +132,7 @@ def build_images_with_crops(ids: DataFrame, id_col: str = "image_id",
                 out["phash"] = pd.array([r["phash"] for r in rows], dtype="Int64")
             yield out
 
-    return ids.select(F.col(id_col).cast("string").alias(id_col)) \
-        .mapInPandas(gen, schema=IMAGES_DDL)
+    return _spread(ids, id_col).mapInPandas(gen, schema=IMAGES_DDL)
 
 
 TILE_DDL = "image_id string, tx int, ty int, tile_hash long"
@@ -252,8 +259,7 @@ def build_videos_df(ids: DataFrame, id_col: str = "video_id",
             yield (pd.DataFrame(rows) if rows else pd.DataFrame(
                 columns=[c.split(" ")[0] for c in VIDEOS_DDL.split(", ")]))
 
-    return ids.select(F.col(id_col).cast("string").alias(id_col)) \
-        .mapInPandas(gen, schema=VIDEOS_DDL)
+    return _spread(ids, id_col).mapInPandas(gen, schema=VIDEOS_DDL)
 
 
 def build_audio_df(ids: DataFrame, id_col: str = "audio_id",
@@ -271,8 +277,7 @@ def build_audio_df(ids: DataFrame, id_col: str = "audio_id",
             yield (pd.DataFrame(rows) if rows else pd.DataFrame(
                 columns=[c.split(" ")[0] for c in AUDIO_IN_DDL.split(", ")]))
 
-    return ids.select(F.col(id_col).cast("string").alias(id_col)) \
-        .mapInPandas(gen, schema=AUDIO_IN_DDL)
+    return _spread(ids, id_col).mapInPandas(gen, schema=AUDIO_IN_DDL)
 
 
 FRAME_DDL = "video_id string, frame_idx int, ts_ms long, bytes binary"
