@@ -624,15 +624,22 @@ def dedup_embedding_lsh(spark, sf_dir):
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"))
             .distinct())
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    # exact-cosine verify on candidates only. The norm is a PER-VECTOR
+    # quantity — compute it once on the 5k-row vector side (identical
+    # aggregate expression ⇒ bit-identical doubles), never per candidate
+    # pair: HOF lambdas run interpreted, and re-deriving two 64-element
+    # norms for every pair tripled the verify cost (measured 10.5 s → 3.9 s
+    # at sf0.1 for the identical result).
+    norm = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    en = e.select("vec_id", "v", norm.alias("nrm"))
+    ea = en.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                   F.col("nrm").alias("na"))
+    eb = en.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                   F.col("nrm").alias("nb"))
     dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(F.col("va"), lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(F.col("vb"), lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    cos = dot / (na * nb)
+    cos = dot / (F.col("na") * F.col("nb"))
     return (cand.join(ea, "vec_a").join(eb, "vec_b")
             .where(cos >= 0.4)
             .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine")))
@@ -719,21 +726,27 @@ def text_simhash(spark, sf_dir):
     """64-bit SimHash fingerprint per document (near-dup sketch): per bit p,
     majority vote of bit p of md5(token) over distinct tokens. Emitted as a
     64-char bitstring so the DuckDB oracle is byte-identical."""
-    toks = F.array_distinct(_words(F.col("text")))
-    hs = F.transform(toks, lambda w_: F.md5(w_))
-    docs = t(spark, sf_dir, "documents").select("doc_id", hs.alias("hs"))
+    # Explode + 64 partial-aggregated sums, NOT a transform(0..63) lambda
+    # with an inner aggregate: there the per-bit arithmetic runs on the
+    # interpreted expression path per (doc, token, bit) — measured 17 s at
+    # sf0.1 vs ~1 s for this shape. Here the bit position p is a PYTHON
+    # constant, so substring offsets and powers constant-fold and the whole
+    # vote is whole-stage-codegen'd; map-side combine reduces each
+    # partition to ≤ docs x 64 longs before the shuffle (minhash shape).
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_words(F.col("text"))).alias("toks"))
+    hx = (docs.select("doc_id", F.explode("toks").alias("w"))
+          .select("doc_id", F.md5("w").alias("h")))
 
-    def bit_of(h, p):
-        digit = F.conv(F.substr(h, (p / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int")
-        return (F.floor(digit / F.pow(F.lit(2.0), (3 - p % 4).cast("double"))).cast("int") % 2)
+    def bit_of(p):
+        digit = F.conv(F.substring("h", p // 4 + 1, 1), 16, 10).cast("int")
+        return (F.floor(digit / F.lit(float(2 ** (3 - p % 4)))).cast("int") % 2)
 
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda p: F.when(
-            F.aggregate(F.col("hs"), F.lit(0),
-                        lambda acc, h: acc + (2 * bit_of(h, p) - 1)) > 0,
-            F.lit("1")).otherwise(F.lit("0")))
-    return docs.select("doc_id", F.array_join(bits, "").alias("simhash"))
+    agg = hx.groupBy("doc_id").agg(*[
+        F.sum(2 * bit_of(p) - 1).alias(f"b{p}") for p in range(64)])
+    return agg.select("doc_id", F.concat(*[
+        F.when(F.col(f"b{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(64)]).alias("simhash"))
 
 
 _LANG_MARKERS = [
@@ -898,24 +911,38 @@ def text_winnow_fingerprint(spark, sf_dir):
     guarantee (any ≥11-char shared substring yields a shared fingerprint)
     underpins plagiarism/copy detection. All arithmetic is mod 2^31-1 with
     precomputed 257^j coefficients so every intermediate fits signed-64 on
-    both engines and Spark matches the DuckDB oracle bit-for-bit. Per-doc
-    JVM array expressions only — no explode, no shuffle; at 100 TB the
-    fingerprint SET (distinct count + additive digest here) is what you'd
-    band-join, exactly like dedup_minhash_lsh's signature."""
+    both engines and Spark matches the DuckDB oracle bit-for-bit.
+
+    Shape: posexplode the text into narrow (doc_id, pos, charcode) rows
+    ONCE, then both the 8-char polynomial (lead() × 7) and the 4-gram
+    minimum (ROWS BETWEEN 0 AND 3) are window functions over the same
+    (doc_id, pos) sort — one shuffle of ~20-byte rows, everything
+    whole-stage codegen. Rejected alternatives, both measured at sf0.1:
+    transform(sequence, i -> substr(text, i+j, 1)) is an interpreted
+    lambda AND substr-by-index is an O(i) UTF8 codepoint scan (O(L²)/doc,
+    19.5 s); carrying a per-doc char ARRAY through the gram explode copies
+    (and, post-CollapseProject, recomputes) the array per gram row (63 s).
+    This formulation runs ~1.5 s, and the text column never reaches an
+    Exchange — the only viable layout at 100 TB."""
     P = 2147483647
     cs = [pow(257, j, P) for j in range(7, -1, -1)]
-    poly = " + ".join(
-        f"ascii(substr(text, i + {j}, 1)) * {c}L" for j, c in enumerate(cs))
     docs = t(spark, sf_dir, "documents").where(F.length("text") >= 11)
-    hs = docs.select("doc_id", F.expr(
-        f"transform(sequence(1, length(text) - 7), i -> ({poly}) % {P})")
-        .alias("hs"))
-    fps = hs.select("doc_id", F.expr(
-        "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 0)), "
-        "p -> array_min(slice(hs, p, 4))))").alias("fps"))
-    return fps.select(
-        "doc_id", F.size("fps").cast("bigint").alias("n_fp"),
-        F.expr("aggregate(fps, 0L, (a, x) -> a + x)").alias("fp_digest"))
+    ch = (docs.select("doc_id", F.length("text").alias("L"),
+                      F.posexplode(F.split("text", "")).alias("pos", "c"))
+          .select("doc_id", "L", "pos", F.ascii("c").alias("a")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = sum((F.lead("a", j).over(w) if j else F.col("a")).cast("long")
+            * F.lit(c).cast("long") for j, c in enumerate(cs)) % P
+    grams = (ch.select("doc_id", "L", "pos", h.alias("h"))
+             .where(F.col("pos") <= F.col("L") - 8))
+    wmin = (grams.select(
+        "doc_id", "pos", "L",
+        F.min("h").over(w.rowsBetween(0, 3)).alias("w"))
+        .where(F.col("pos") <= F.col("L") - 11))
+    return (wmin.select("doc_id", "w").distinct()
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_fp"),
+                 F.sum("w").alias("fp_digest")))
 
 
 def text_quality_score(spark, sf_dir):

@@ -220,11 +220,23 @@ def test_url_canonical_single_agg_exchange(spark):
     assert "HashAggregate" in tree  # partial agg before the shuffle
 
 
-def test_verify_psnr_no_shuffle(spark):
-    """img_verify_psnr: per-row invariant is chained MapInPandas, data-local."""
+def test_verify_psnr_shuffles_only_ids(spark):
+    """img_verify_psnr: the per-row invariant is chained MapInPandas. The
+    ONLY Exchange allowed is the deliberate round-robin spread of the id
+    strings BEFORE the payload exists (image_ops._spread — mapInPandas
+    parallelism = input partitions, and the id source is a 1-2-split scan);
+    payload bytes must never reach a shuffle."""
     plan = _plan(spark, "img_verify_psnr")
-    assert "Exchange" not in plan
     assert plan.count("MapInPandas") >= 2
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "RoundRobinPartitioning" in plan
+    # the spread happens on bare id strings — no payload column in any
+    # exchange's output attributes
+    for i, ln in enumerate(plan.splitlines()):
+        if ln.startswith("(") and "Exchange" in ln:
+            section = "\n".join(plan.splitlines()[i:i + 3])
+            assert "bytes" not in section, section
 
 
 def test_percentile_approx_single_exchange(spark):
