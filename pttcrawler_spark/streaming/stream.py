@@ -135,3 +135,23 @@ def sessionize_stateful(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
     return (stream.groupBy("board").applyInPandasWithState(
         fn, outputStructType=SESSION_SCHEMA, stateStructType=_SESSION_STATE,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout))
+
+def url_seen_stream(stream: DataFrame, watermark_s: int = 3600) -> DataFrame:
+    """Streaming URL-seen dedup: ``dropDuplicatesWithinWatermark`` on the
+    canonicalized URL — the Structured Streaming twin of the batch loop's
+    bloom/cuckoo URL-seen stage (operators/bloom.py, P7).
+
+    Unlike plain ``dropDuplicates`` (whose state grows with every key ever
+    seen — unusable at 10^10 URLs), the watermarked variant evicts a key's
+    state once the watermark passes its event time, so state is bounded by
+    the in-watermark URL cardinality. Division of labor at scale: the
+    frontier table + bloom filter hold the full crawl history; this stage
+    guards the within-window duplicate races (same URL discovered by two
+    concurrent index pages) that the per-batch anti-join cannot see until
+    the next commit."""
+    from ..functions import url as FU
+
+    return (stream
+            .withWatermark("event_ts", f"{watermark_s} seconds")
+            .withColumn("canon_url", FU.canonicalize(F.col("url")))
+            .dropDuplicatesWithinWatermark(["canon_url"]))

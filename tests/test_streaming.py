@@ -101,3 +101,33 @@ def test_sessionize_stateful(spark, stream_dirs):
     assert len(res) == 1
     assert res.iloc[0]["session_id"] == 0
     assert res.iloc[0]["n_events"] == 3
+
+
+def test_url_seen_stream_dedups_within_watermark(spark, stream_dirs):
+    """Duplicate URLs (including messy canonical variants) arriving across
+    micro-batches inside the watermark collapse to one row per canonical
+    URL; distinct URLs all survive."""
+    rows = []
+    for i in range(6):
+        url = f"https://www.ptt.cc/bbs/Board00/M.{i}.A.html"
+        rows.append({"url": url, "kind": "article", "board": "Board00",
+                     "page_index": 1, "dom_pos": i,
+                     "event_ts": "2025-08-01T00:00:10Z"})
+        # a later duplicate and a messy canonical variant of the same URL
+        rows.append({**rows[-1], "event_ts": "2025-08-01T00:05:00Z"})
+        rows.append({**rows[-1],
+                     "url": f"HTTPS://WWW.PTT.CC:443/bbs/Board00/M.{i}.A.html#x",
+                     "event_ts": "2025-08-01T00:09:00Z"})
+    src = stream_dirs / "seen_in"
+    _write_frontier_files(src, rows, per_file=4)  # several micro-batches
+
+    out = str(stream_dirs / "seen_out")
+    chk = str(stream_dirs / "seen_chk")
+    q = (STR.url_seen_stream(STR.frontier_file_stream(spark, str(src)))
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 6
+    assert got.select("canon_url").distinct().count() == 6
