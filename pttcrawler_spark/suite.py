@@ -125,6 +125,31 @@ def p7_seen_anti(spark, sf_dir):
             .select("c_custkey", "c_name"))
 
 
+def p7b_seen_bloom(spark, sf_dir):
+    """P7's SCALE path, graded: the partitioned-bloom URL-seen split
+    (operators/bloom.py — the engine's crawl-loop stage) composed with the
+    exact anti-join patch-up. split() routes every probe row through the
+    blob of its hash partition (cogroup applyInPandas, Arrow-vectorized
+    bit tests); `definitely_new` skips the shuffle-heavy anti-join
+    entirely, `maybe_seen` (true hits + false positives) is re-checked
+    exactly. At 10^10 URLs this cuts the anti-join's probe side to the
+    maybe fraction; correctness relies on the filter having NO false
+    negatives — which is exactly what the oracle (the plain anti-join)
+    certifies: one leaked seen key ⇒ row-count/hash mismatch."""
+    from .operators.bloom import BloomState
+    seen = t(spark, sf_dir, "orders").select(
+        F.xxhash64(F.col("o_custkey")).alias("url_hash"))
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.xxhash64(F.col("c_custkey")).alias("url_hash"))
+    bloom = BloomState(partitions=16, bits_per_key=16)
+    bloom.rebuild(seen)
+    maybe, new = bloom.split(cust)
+    survivors = maybe.join(
+        t(spark, sf_dir, "orders").select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (new.unionByName(survivors).select("c_custkey", "c_name"))
+
+
 def p8_page_complete(spark, sf_dir):
     """P8: page-complete count check, crawler/article.py:462-468."""
     return (t(spark, sf_dir, "orders").groupBy("o_custkey")
@@ -1650,6 +1675,11 @@ ORACLE_SQL: dict[str, str] = {
     "p7_seen_anti": """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    # p7b composes bloom-split + exact patch-up; result must EQUAL the
+    # plain anti-join — the oracle certifies the no-false-negative contract
+    "p7b_seen_bloom": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
     "p8_page_complete": """
         SELECT o_custkey, count(*) AS n_orders FROM orders
         GROUP BY o_custkey HAVING count(*) >= 15""",
@@ -2513,6 +2543,7 @@ def queries():
         "a9_rollup": a9_rollup,
         "a10_hll_distinct": a10_hll_distinct,
         "text_token_count_bpe": text_token_count_bpe,
+        "p7b_seen_bloom": p7b_seen_bloom,
         "text_winnow_fingerprint": text_winnow_fingerprint,
         # -- keys with green rows in CORRECTNESS_r01/r02 --
         "flagship_tw_report": flagship_tw_report,
