@@ -150,6 +150,34 @@ def p7b_seen_bloom(spark, sf_dir):
     return (new.unionByName(survivors).select("c_custkey", "c_name"))
 
 
+def p7c_seen_cuckoo(spark, sf_dir):
+    """The DELETABLE seen-filter variant, graded: cuckoo filter
+    (operators/cuckoo.py, Fan et al. CoNEXT'14) with a real DELETE round —
+    the north rule's re-crawl case (reference --upgrade re-fetch,
+    crawler/article.py:152-157, must UN-mark a URL as seen). Insert every
+    customer key that has orders, then delete the `custkey % 10 == 0`
+    cohort (mark-for-recrawl), then split all customers and patch the
+    maybe side exactly. Result must equal "customers not in the
+    post-delete seen set" — the oracle certifies both no-false-negatives
+    AND that deletion really removed its keys (a bloom filter cannot
+    express this query)."""
+    from .operators.cuckoo import CuckooState
+    seen_keys = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    ins = seen_keys.select(F.xxhash64(F.col("o_custkey")).alias("url_hash"))
+    dels = (seen_keys.where(F.pmod(F.col("o_custkey"), F.lit(10)) == 0)
+            .select(F.xxhash64(F.col("o_custkey")).alias("url_hash")))
+    ck = CuckooState(partitions=16)
+    ck.rebuild(ins)
+    ck.remove(dels)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.xxhash64(F.col("c_custkey")).alias("url_hash"))
+    maybe, new = ck.split(cust)
+    final_seen = seen_keys.where(F.pmod(F.col("o_custkey"), F.lit(10)) != 0)
+    survivors = maybe.join(
+        final_seen, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (new.unionByName(survivors).select("c_custkey", "c_name"))
+
+
 def p8_page_complete(spark, sf_dir):
     """P8: page-complete count check, crawler/article.py:462-468."""
     return (t(spark, sf_dir, "orders").groupBy("o_custkey")
@@ -1680,6 +1708,12 @@ ORACLE_SQL: dict[str, str] = {
     "p7b_seen_bloom": """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    # post-delete seen set: custkeys with orders MINUS the %10 recrawl
+    # cohort — certifies cuckoo deletion actually removed its keys
+    "p7c_seen_cuckoo": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND c_custkey % 10 <> 0)""",
     "p8_page_complete": """
         SELECT o_custkey, count(*) AS n_orders FROM orders
         GROUP BY o_custkey HAVING count(*) >= 15""",
@@ -2544,6 +2578,7 @@ def queries():
         "a10_hll_distinct": a10_hll_distinct,
         "text_token_count_bpe": text_token_count_bpe,
         "p7b_seen_bloom": p7b_seen_bloom,
+        "p7c_seen_cuckoo": p7c_seen_cuckoo,
         "text_winnow_fingerprint": text_winnow_fingerprint,
         # -- keys with green rows in CORRECTNESS_r01/r02 --
         "flagship_tw_report": flagship_tw_report,
