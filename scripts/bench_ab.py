@@ -1,14 +1,16 @@
 #!/usr/bin/env python
 """A/B bisect of bench-worker JVM config on the scaling corpus.
 
-Round-3 finding driver: run B (43913d0, ParallelGC + half-heap young,
-compressed cache, 1.5 GB/core heap, default local.dir) sustained
-1407/4943/8454 URLs/s; the cd70a64 config (G1 bounded young, uncompressed
-cache, 1 GB/core, /dev/shm local.dir) measures ~2x slower at every level
-across two independent runs even with commit pipelining off. This script
-re-runs ONE level (default local[8]) under named config variants on a
-shared pre-generated corpus, with a host-CPU probe before each, so the
-regression can be attributed knob by knob on this noisy host.
+Built to bisect an apparent round-3 config regression (run B at 43913d0
+sustained 1407/4943/8454 URLs/s; later runs ~2x slower at every level).
+RESOLVED: the host itself was ~2.3x slower at high thread counts in the
+slow runs — its own pure-CPU microbench fell from 241 to ~102 Mops at 32
+threads — and the committed config (G1 bounded young, uncompressed cache)
+wins on a healthy host (2->8 sustained 0.948, BENCH_SCALING.json). Keep
+this script for the next time the host muddies an A/B: it re-runs ONE
+level (default local[8]) under named config variants on a shared
+pre-generated corpus, with a host-CPU probe before each, so config and
+host effects separate.
 
 Usage: python scripts/bench_ab.py [corpus_dir] [variant ...]
 Writes /tmp/bench_ab_results.json incrementally.
