@@ -155,3 +155,29 @@ def url_seen_stream(stream: DataFrame, watermark_s: int = 3600) -> DataFrame:
             .withWatermark("event_ts", f"{watermark_s} seconds")
             .withColumn("canon_url", FU.canonicalize(F.col("url")))
             .dropDuplicatesWithinWatermark(["canon_url"]))
+
+def fetch_latency_stream(discoveries: DataFrame, fetches: DataFrame,
+                         max_lag_s: int = 600,
+                         watermark_s: int = 120) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: each discovery event joins
+    the fetch of the same URL that lands within ``max_lag_s`` after it,
+    yielding per-URL crawl latency — the streaming form of the frontier
+    question "how stale is the queue?".
+
+    Both sides carry watermarks and the join predicate bounds fetch_ts to
+    [disc_ts, disc_ts + max_lag_s], so Spark can evict both join states
+    once the watermark passes the bound — state stays O(in-flight URLs),
+    the only viable shape when both sides are 10^10-row streams. (A join
+    without the time bound would buffer every discovery forever.)"""
+    d = (discoveries.withWatermark("event_ts", f"{watermark_s} seconds")
+         .select("url", F.col("event_ts").alias("disc_ts")))
+    fch = (fetches.withWatermark("event_ts", f"{watermark_s} seconds")
+           .select(F.col("url").alias("f_url"),
+                   F.col("event_ts").alias("fetch_ts")))
+    return (d.join(fch, (F.col("url") == F.col("f_url"))
+                   & (F.col("fetch_ts") >= F.col("disc_ts"))
+                   & (F.col("fetch_ts")
+                      <= F.col("disc_ts") + F.expr(f"INTERVAL {max_lag_s} SECOND")))
+            .select("url", "disc_ts", "fetch_ts",
+                    (F.unix_timestamp("fetch_ts")
+                     - F.unix_timestamp("disc_ts")).alias("latency_s")))

@@ -131,3 +131,30 @@ def test_url_seen_stream_dedups_within_watermark(spark, stream_dirs):
     got = spark.read.parquet(out)
     assert got.count() == 6
     assert got.select("canon_url").distinct().count() == 6
+
+
+def test_fetch_latency_stream_interval_join(spark, stream_dirs):
+    """Stream-stream interval join: fetches within the lag bound join their
+    discovery; a fetch outside the bound produces no row."""
+    def mk(url, ts):
+        return {"url": url, "kind": "article", "board": "b",
+                "page_index": 1, "dom_pos": 0, "event_ts": ts}
+    disc = [mk(f"u{i}", "2025-08-01T00:00:00Z") for i in range(4)]
+    fet = ([mk(f"u{i}", f"2025-08-01T00:0{i}:30Z") for i in range(3)]  # 90-150s lag... within 600s
+           + [mk("u3", "2025-08-01T02:00:00Z")])                       # 2h late: outside bound
+    d_src, f_src = stream_dirs / "lat_d", stream_dirs / "lat_f"
+    _write_frontier_files(d_src, disc, per_file=2)
+    _write_frontier_files(f_src, fet, per_file=2)
+
+    out = str(stream_dirs / "lat_out")
+    chk = str(stream_dirs / "lat_chk")
+    q = (STR.fetch_latency_stream(
+            STR.frontier_file_stream(spark, str(d_src)),
+            STR.frontier_file_stream(spark, str(f_src)))
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas().sort_values("url")
+    assert got.url.tolist() == ["u0", "u1", "u2"]     # u3's fetch was too late
+    assert got.latency_s.tolist() == [30, 90, 150]
