@@ -775,6 +775,35 @@ def dedup_cluster_cc(spark, sf_dir):
                     F.col("component").alias("cluster_id"), "cluster_size"))
 
 
+def dedup_pipeline_e2e(spark, sf_dir):
+    """END-TO-END fuzzy-dedup pipeline as ONE graded query: MinHash-LSH
+    candidate pairs (:func:`dedup_minhash_lsh`) → connected-component
+    clusters (operators/cc.py) → keeper selection (min doc_id per cluster)
+    → per-document survivor verdict over the FULL corpus (singletons kept).
+
+    The per-stage oracles grade each piece; this grades the composition —
+    interface bugs (band-hash collisions flowing into CC, docs dropped
+    between stages, keeper ties) only surface when the stages are chained.
+    Output: every document with its cluster id (own id for singletons) and
+    whether dedup keeps it. `keep ⇔ doc_id == cluster_id` because the CC
+    label IS the component's min doc id — the keeper rule. Scale shape:
+    the LSH pair graph is O(n·k + candidates), CC is O(log n) shuffle
+    rounds, the final verdict is one broadcast-able left join onto the
+    corpus scan; nothing is O(n²). Oracle = DuckDB recursive closure over
+    the identical pair set, left-joined back to documents."""
+    from .operators.cc import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = (connected_components(pairs, src="doc_a", dst="doc_b")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cid")))
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cluster = F.coalesce(F.col("cid"), F.col("doc_id"))
+    return (docs.join(comp, "doc_id", "left")
+            .select("doc_id", cluster.alias("cluster_id"),
+                    (F.col("doc_id") == cluster).alias("keep")))
+
+
 def text_simhash(spark, sf_dir):
     """64-bit SimHash fingerprint per document (near-dup sketch): per bit p,
     majority vote of bit p of md5(token) over distinct tokens. Emitted as a
@@ -786,9 +815,15 @@ def text_simhash(spark, sf_dir):
     # constant, so substring offsets and powers constant-fold and the whole
     # vote is whole-stage-codegen'd; map-side combine reduces each
     # partition to ≤ docs x 64 longs before the shuffle (minhash shape).
+    # explode_OUTER: a doc whose token array is empty/NULL (NULL text) must
+    # still emit a row — its single NULL token hashes to NULL, every bit sum
+    # aggregates to NULL, and `when(NULL > 0)` falls through to '0', giving
+    # the all-zeros fingerprint the DuckDB oracle produces for such docs.
+    # Plain explode() silently dropped these docs (ADVICE round 3), a latent
+    # row-count mismatch on any corpus with empty documents.
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(_words(F.col("text"))).alias("toks"))
-    hx = (docs.select("doc_id", F.explode("toks").alias("w"))
+    hx = (docs.select("doc_id", F.explode_outer("toks").alias("w"))
           .select("doc_id", F.md5("w").alias("h")))
 
     def bit_of(p):
@@ -1681,6 +1716,92 @@ def events_json_extract(spark, sf_dir):
                                        F.count("*").alias("n")))
 
 
+def _messy_url(k, v):
+    """Deterministic messy URL variant v (0..5) for key k — the f13 variant
+    set (uppercase scheme/host, default ports, fragments, dup slashes,
+    trailing '?', padding); all six canonicalize to the same URL per k."""
+    board = F.concat(F.lit("Board"), (k % 50).cast("string"))
+    ks = k.cast("string")
+    path = F.concat(F.lit("/bbs/"), board, F.lit("/index"), ks,
+                    F.lit(".html"))
+    return (F.when(v == 0, F.concat(F.lit("https://WWW.PTT.CC:443/bbs/"),
+                                    board, F.lit("//index"), ks,
+                                    F.lit(".html#frag")))
+            .when(v == 1, F.concat(F.lit("https://www.ptt.cc"), path))
+            .when(v == 2, F.concat(F.lit("HTTPS://www.Ptt.cc"), path,
+                                   F.lit("?")))
+            .when(v == 3, F.concat(F.lit("http://MIRROR.ptt.cc:80/bbs///"),
+                                   board, F.lit("/index"), ks,
+                                   F.lit(".html")))
+            .when(v == 4, F.concat(F.lit("https://www.ptt.cc:443"), path,
+                                   F.lit("#a#b")))
+            .otherwise(F.concat(F.lit("  https://www.ptt.cc"), path,
+                                F.lit("  "))))
+
+
+def stream_urlseen_twin(spark, sf_dir):
+    """Batch-semantics twin of streaming/stream.url_seen_stream
+    (``dropDuplicatesWithinWatermark`` on the canonical URL): with the
+    watermark horizon ≥ the data's event-time span, the streaming operator
+    emits exactly the FIRST-arriving event per canonical key — i.e. this
+    window query. The driver grades this twin against the DuckDB oracle;
+    tests/test_streaming.py::test_url_seen_stream_equals_batch_twin pins the
+    real streaming operator to the same key set on the same derived input,
+    so the stream's dedup semantics transitively get an oracle row
+    (round-3 verdict #7).
+
+    Input: events mapped to messy URL variants (event_id%6 picks the f13
+    variant, event_id%400 the canonical key) so canonicalization is load-
+    bearing. One shuffle (window on canon key); variant synthesis and the
+    RE2 canonicalizer chain are all whole-stage codegen."""
+    from .functions import url as FU
+
+    ev = t(spark, sf_dir, "events")
+    raw = _messy_url(F.col("event_id") % 400, F.col("event_id") % 6)
+    d = ev.select(FU.canonicalize(raw).alias("canon_url"), "event_id", "ts")
+    w = Window.partitionBy("canon_url").orderBy("ts", "event_id")
+    return (d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("canon_url",
+                    F.col("event_id").alias("first_event_id"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("first_ts")))
+
+
+_LATENCY_MAX_LAG_S = 86400  # 1 day — sized to the sparse per-user event rate
+
+
+def stream_latency_twin(spark, sf_dir):
+    """Batch-semantics twin of streaming/stream.fetch_latency_stream (the
+    watermarked stream-stream INTERVAL join): with watermarks ≥ the data
+    span nothing is evicted or late-dropped, so the stream's inner interval
+    join ≡ this bounded-range batch join exactly. Graded here against the
+    DuckDB oracle; tests/test_streaming.py::
+    test_fetch_latency_stream_equals_batch_twin pins the real streaming
+    operator to this result on the same derived input (round-3 verdict #7).
+
+    discoveries = 'view' events, fetches = 'click' events, keyed by a per-
+    user URL; a fetch joins its discovery iff it lands within
+    [disc_ts, disc_ts + max_lag]. Equi-join on url + range residual — a
+    SortMergeJoin with a pushed residual filter, never a BNLJ."""
+    ev = t(spark, sf_dir, "events")
+    url = F.concat(F.lit("https://www.ptt.cc/u/"),
+                   F.col("user_id").cast("string"))
+    d = (ev.where(F.col("event_type") == "view")
+         .select(url.alias("url"), F.col("ts").alias("disc_ts"),
+                 F.col("event_id").alias("disc_event_id")))
+    fch = (ev.where(F.col("event_type") == "click")
+           .select(url.alias("f_url"), F.col("ts").alias("fetch_ts"),
+                   F.col("event_id").alias("fetch_event_id")))
+    j = d.join(fch, (F.col("url") == F.col("f_url"))
+               & (F.col("fetch_ts") >= F.col("disc_ts"))
+               & (F.col("fetch_ts") <= F.col("disc_ts")
+                  + F.expr(f"INTERVAL {_LATENCY_MAX_LAG_S} SECOND")))
+    return j.select("url", "disc_event_id", "fetch_event_id",
+                    (F.unix_timestamp("fetch_ts")
+                     - F.unix_timestamp("disc_ts")).alias("latency_s"))
+
+
 # ---------------------------------------------------------------------------
 ORACLE_SQL: dict[str, str] = {
     "flagship_tw_report": FLAGSHIP_SQL,
@@ -2081,6 +2202,51 @@ ORACLE_SQL: dict[str, str] = {
         FROM comp c
         JOIN (SELECT cluster_id, count(*) AS cluster_size
               FROM comp GROUP BY cluster_id) s USING (cluster_id)""",
+    # End-to-end fuzzy-dedup pipeline: the identical LSH pair set closed
+    # transitively, keeper = min doc id per cluster, verdict LEFT-joined
+    # onto the full corpus (singletons keep themselves).
+    "dedup_pipeline_e2e": """
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 0) + 1),
+                   i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+                 )) AS sh
+          FROM documents),
+        hd AS (
+          SELECT doc_id,
+                 list_transform(sh, s ->
+                   CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+          FROM d WHERE len(sh) > 0),
+        mh AS (
+          SELECT doc_id,
+                 list_transform(range(0, 12), i ->
+                   list_aggregate(list_transform(hs, h ->
+                     (h * ((2654435761 * (i + 1)) % 2147483647)
+                      + (40503 * (i + 7)) % 2147483647) % 2147483647),
+                     'min')) AS m
+          FROM hd),
+        bands AS (
+          SELECT doc_id, cast(j AS int) AS band,
+                 md5(array_to_string(list_transform(m[j*3+1 : j*3+3],
+                     x -> CAST(x AS VARCHAR)), '|')) AS sig
+          FROM mh, range(0, 4) t(j)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM edges e JOIN reach r ON r.doc_id = e.src),
+        comp AS (SELECT doc_id, min(lab) AS cid FROM reach GROUP BY doc_id)
+        SELECT doc.doc_id,
+               coalesce(c.cid, doc.doc_id) AS cluster_id,
+               (doc.doc_id = coalesce(c.cid, doc.doc_id)) AS keep
+        FROM documents doc LEFT JOIN comp c USING (doc_id)""",
     "text_simhash": """
         WITH h AS (
           SELECT doc_id,
@@ -2169,6 +2335,69 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(cast(json_extract_string(props, '$.k') AS int)) AS BIGINT) AS k_sum,
                count(*) AS n
         FROM events GROUP BY event_type""",
+    # Batch twin of url_seen_stream (dropDuplicatesWithinWatermark): first
+    # event per CANONICAL key — the f13 messy-variant chain keyed by
+    # event_id, canonicalized with the identical RE2 rule chain.
+    "stream_urlseen_twin": """
+        WITH src AS (
+          SELECT event_id, ts,
+                 event_id % 400 AS k, event_id % 6 AS v FROM events),
+        raw AS (
+          SELECT event_id, ts, CASE v
+            WHEN 0 THEN 'https://WWW.PTT.CC:443/bbs/Board' || (k % 50)
+                        || '//index' || k || '.html#frag'
+            WHEN 1 THEN 'https://www.ptt.cc/bbs/Board' || (k % 50)
+                        || '/index' || k || '.html'
+            WHEN 2 THEN 'HTTPS://www.Ptt.cc/bbs/Board' || (k % 50)
+                        || '/index' || k || '.html?'
+            WHEN 3 THEN 'http://MIRROR.ptt.cc:80/bbs///Board' || (k % 50)
+                        || '/index' || k || '.html'
+            WHEN 4 THEN 'https://www.ptt.cc:443/bbs/Board' || (k % 50)
+                        || '/index' || k || '.html#a#b'
+            ELSE '  https://www.ptt.cc/bbs/Board' || (k % 50)
+                 || '/index' || k || '.html  '
+          END AS url FROM src),
+        s1 AS (SELECT event_id, ts,
+                      regexp_replace(trim(url), '#.*$', '') AS c FROM raw),
+        s2 AS (SELECT event_id, ts,
+                 regexp_replace(regexp_replace(
+                     lower(regexp_extract(c,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)),
+                     '^(https://[^/:]+):443$', '\\1'),
+                     '^(http://[^/:]+):80$', '\\1') AS sh,
+                 regexp_replace(regexp_replace(
+                     regexp_replace(c,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', ''),
+                     '//+', '/', 'g'),
+                     '\\?$', '') AS rest
+               FROM s1),
+        canon AS (SELECT event_id, ts,
+                         sh || (CASE WHEN rest = '' THEN '/' ELSE rest END)
+                         AS canon_url FROM s2),
+        r AS (SELECT canon_url, event_id, ts,
+                     row_number() OVER (PARTITION BY canon_url
+                                        ORDER BY ts, event_id) AS rn
+              FROM canon)
+        SELECT canon_url, event_id AS first_event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        FROM r WHERE rn = 1""",
+    # Batch twin of fetch_latency_stream (watermarked stream-stream interval
+    # join): bounded-range join, latency in floored whole seconds on both
+    # engines (Spark unix_timestamp floors).
+    "stream_latency_twin": """
+        WITH d AS (SELECT 'https://www.ptt.cc/u/' || user_id AS url,
+                          ts AS disc_ts, event_id AS disc_event_id
+                   FROM events WHERE event_type = 'view'),
+        f AS (SELECT 'https://www.ptt.cc/u/' || user_id AS f_url,
+                     ts AS fetch_ts, event_id AS fetch_event_id
+              FROM events WHERE event_type = 'click')
+        SELECT url, disc_event_id, fetch_event_id,
+               CAST(floor(epoch(fetch_ts)) - floor(epoch(disc_ts)) AS BIGINT)
+                 AS latency_s
+        FROM d JOIN f
+          ON url = f_url
+         AND fetch_ts >= disc_ts
+         AND fetch_ts <= disc_ts + INTERVAL 86400 SECOND""",
     # Oracle side-table: 40-row parquet of (image_id, phash64) computed
     # driver-side with pure numpy (tests/fixtures/gen_img_phash40.py) — the
     # independent twin of the distributed decode→phash mapInPandas path.
@@ -2540,84 +2769,29 @@ def queries():
     keys: entries without an oracle get the driver's rows-only check.
 
     ORDER MATTERS: the driver records correctness rows for the first ~50
-    entries in insertion order. Rounds 1-2 left 23 keys without a green
-    driver row (4 round-1 hash-fails fixed in round 2 but pushed past the
-    window, plus 19 keys added mid-dict in round 2) — those lead here so
-    CORRECTNESS_r03 attests them; the keys already green in r01/r02 fill
-    the remainder."""
+    entries in insertion order. STANDING RULE (round-3 verdict #1): any key
+    whose implementation changed since its last green driver row goes
+    FIRST, so every key's latest driver row postdates its latest
+    implementation change. Round-4 window: (a) the four keys rewritten in
+    round 3 after their last grade (plus dedup_cluster_cc, whose input pair
+    set is dedup_minhash_lsh's) and text_simhash's round-4 empty-doc fix;
+    (b) the three new round-4 keys; (c) keys whose only green rows are
+    r01/r02 (oldest attestation); (d) keys attested green in r03 fill the
+    tail."""
     q = {
-        # -- never driver-attested (r1 fails fixed in r2, then the r2
-        # additions that fell past the 50-key window) --
-        "img_decode_stats": img_decode_stats,
-        "img_resize_thumb": img_resize_thumb,
-        "stream_sessionize": stream_sessionize,
-        "events_json_extract": events_json_extract,
-        "text_ngram_lm_score": text_ngram_lm_score,
-        "img_phash_dedup": img_phash_dedup,
-        "img_phash_near_dup": img_phash_near_dup,
-        "img_dedup_bytes": img_dedup_bytes,
-        "img_aspect_bucket": img_aspect_bucket,
-        "img_phash_cluster": img_phash_cluster,
-        "img_verify_psnr": img_verify_psnr,
-        "text_gopher_rules": text_gopher_rules,
-        "sample_stratified": sample_stratified,
-        "j8_asof_join": j8_asof_join,
-        "j9_ip_range_lookup": j9_ip_range_lookup,
-        "kmeans_lloyd": kmeans_lloyd,
-        "f13_url_canonical": f13_url_canonical,
-        "a7_skew_agg": a7_skew_agg,
-        "a8_percentile": a8_percentile,
-        "a8b_percentile_approx": a8b_percentile_approx,
-        "text_substr_dedup": text_substr_dedup,
-        "img_crop_dup": img_crop_dup,
-        "av_frame_sample": av_frame_sample,
-        "av_audio_features": av_audio_features,
-        "f6_content_clean": f6_content_clean,
-        "f7_transcription": f7_transcription,
-        "a9_rollup": a9_rollup,
-        "a10_hll_distinct": a10_hll_distinct,
-        "text_token_count_bpe": text_token_count_bpe,
-        "p7b_seen_bloom": p7b_seen_bloom,
-        "p7c_seen_cuckoo": p7c_seen_cuckoo,
-        "text_winnow_fingerprint": text_winnow_fingerprint,
-        # -- keys with green rows in CORRECTNESS_r01/r02 --
-        "flagship_tw_report": flagship_tw_report,
-        "p1_point_lookup": p1_point_lookup,
-        "p2_conj_filter": p2_conj_filter,
-        "p3_filter_board": p3_filter_board,
-        "p4_date_cutoff": p4_date_cutoff,
-        "p6_in_list_semi": p6_in_list_semi,
-        "p7_seen_anti": p7_seen_anti,
-        "p8_page_complete": p8_page_complete,
-        "j1_join_count": j1_join_count,
-        "j2_left_anti": j2_left_anti,
-        "j3_four_way": j3_four_way,
-        "j5_broadcast_left": j5_broadcast_left,
-        "j6_dim_nav": j6_dim_nav,
-        "j7_upsert_new_keys": j7_upsert_new_keys,
-        "a1_minmax_group": a1_minmax_group,
-        "a3_push_tally": a3_push_tally,
-        "a5_latest_per_group": a5_latest_per_group,
-        "w1_latest_version": w1_latest_version,
-        "w2_latest_login": w2_latest_login,
-        "w4_floor_enumerate": w4_floor_enumerate,
-        "w5_version_rotation": w5_version_rotation,
-        "w6_fetch_priority": w6_fetch_priority,
-        "w7_asn_queue": w7_asn_queue,
-        "w8_export_order": w8_export_order,
-        "f1_last_page_regex": f1_last_page_regex,
-        "f2_web_id_roundtrip": f2_web_id_roundtrip,
-        "f4_push_ipdatetime": f4_push_ipdatetime,
-        "f10_date_format": f10_date_format,
-        "f11_lower_board": f11_lower_board,
-        "f12_url_assembly": f12_url_assembly,
+        # -- (a) implementation changed after last driver grade --
+        "text_simhash": text_simhash,            # r3 rewrite + r4 empty-doc fix
+        "dedup_minhash_lsh": dedup_minhash_lsh,  # r3 codegen-shingle rewrite
+        "dedup_embedding_lsh": dedup_embedding_lsh,  # r3 norm-hoist rewrite
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,  # r3 _shingles rewrite
+        "dedup_cluster_cc": dedup_cluster_cc,    # consumes rewritten pair set
+        # -- (b) new in round 4 --
+        "dedup_pipeline_e2e": dedup_pipeline_e2e,
+        "stream_urlseen_twin": stream_urlseen_twin,
+        "stream_latency_twin": stream_latency_twin,
+        # -- (c) latest green row is r01/r02 --
         "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_cluster_cc": dedup_cluster_cc,
-        "text_simhash": text_simhash,
         "text_langid": text_langid,
         "j4_enrich_semi": j4_enrich_semi,
         "f3_author_regex": f3_author_regex,
@@ -2633,5 +2807,68 @@ def queries():
         "text_repetition": text_repetition,
         "text_top_tokens": text_top_tokens,
         "stream_tumbling_agg": stream_tumbling_agg,
+        "w2_latest_login": w2_latest_login,
+        "w4_floor_enumerate": w4_floor_enumerate,
+        "w5_version_rotation": w5_version_rotation,
+        "w6_fetch_priority": w6_fetch_priority,
+        "w7_asn_queue": w7_asn_queue,
+        "w8_export_order": w8_export_order,
+        "f1_last_page_regex": f1_last_page_regex,
+        "f2_web_id_roundtrip": f2_web_id_roundtrip,
+        "f4_push_ipdatetime": f4_push_ipdatetime,
+        "f10_date_format": f10_date_format,
+        "f11_lower_board": f11_lower_board,
+        "f12_url_assembly": f12_url_assembly,
+        # -- (d) green in CORRECTNESS_r03 (most recent attestation) --
+        "flagship_tw_report": flagship_tw_report,
+        "img_verify_psnr": img_verify_psnr,
+        "p1_point_lookup": p1_point_lookup,
+        "p2_conj_filter": p2_conj_filter,
+        "p3_filter_board": p3_filter_board,
+        "p4_date_cutoff": p4_date_cutoff,
+        "p6_in_list_semi": p6_in_list_semi,
+        "p7_seen_anti": p7_seen_anti,
+        "p7b_seen_bloom": p7b_seen_bloom,
+        "p7c_seen_cuckoo": p7c_seen_cuckoo,
+        "p8_page_complete": p8_page_complete,
+        "j1_join_count": j1_join_count,
+        "j2_left_anti": j2_left_anti,
+        "j3_four_way": j3_four_way,
+        "j5_broadcast_left": j5_broadcast_left,
+        "j6_dim_nav": j6_dim_nav,
+        "j7_upsert_new_keys": j7_upsert_new_keys,
+        "j8_asof_join": j8_asof_join,
+        "j9_ip_range_lookup": j9_ip_range_lookup,
+        "a1_minmax_group": a1_minmax_group,
+        "a3_push_tally": a3_push_tally,
+        "a5_latest_per_group": a5_latest_per_group,
+        "a7_skew_agg": a7_skew_agg,
+        "a8_percentile": a8_percentile,
+        "a8b_percentile_approx": a8b_percentile_approx,
+        "a9_rollup": a9_rollup,
+        "a10_hll_distinct": a10_hll_distinct,
+        "w1_latest_version": w1_latest_version,
+        "f6_content_clean": f6_content_clean,
+        "f7_transcription": f7_transcription,
+        "f13_url_canonical": f13_url_canonical,
+        "text_ngram_lm_score": text_ngram_lm_score,
+        "text_gopher_rules": text_gopher_rules,
+        "text_token_count_bpe": text_token_count_bpe,
+        "text_winnow_fingerprint": text_winnow_fingerprint,
+        "text_substr_dedup": text_substr_dedup,
+        "sample_stratified": sample_stratified,
+        "img_decode_stats": img_decode_stats,
+        "img_resize_thumb": img_resize_thumb,
+        "img_phash_dedup": img_phash_dedup,
+        "img_phash_near_dup": img_phash_near_dup,
+        "img_phash_cluster": img_phash_cluster,
+        "img_crop_dup": img_crop_dup,
+        "img_dedup_bytes": img_dedup_bytes,
+        "img_aspect_bucket": img_aspect_bucket,
+        "av_frame_sample": av_frame_sample,
+        "av_audio_features": av_audio_features,
+        "kmeans_lloyd": kmeans_lloyd,
+        "stream_sessionize": stream_sessionize,
+        "events_json_extract": events_json_extract,
     }
     return q

@@ -158,3 +158,103 @@ def test_fetch_latency_stream_interval_join(spark, stream_dirs):
     got = spark.read.parquet(out).toPandas().sort_values("url")
     assert got.url.tolist() == ["u0", "u1", "u2"]     # u3's fetch was too late
     assert got.latency_s.tolist() == [30, 90, 150]
+
+
+# ---------------------------------------------------------------------------
+# Stream ≡ batch-twin equivalence (round-3 verdict #7): the driver grades
+# suite.stream_urlseen_twin / suite.stream_latency_twin against DuckDB
+# oracles; these tests pin the REAL streaming operators to the twins' results
+# on the same derived input, so the streaming semantics transitively carry an
+# oracle row. Watermarks are set ≥ the data's event-time span, the regime in
+# which the twins' batch semantics are exact (no eviction, no late drops).
+# ---------------------------------------------------------------------------
+_SF_DIR = "/root/testdata/sf0.001"
+_BIG_WM = 10**7  # seconds — covers the sf0.001 events span many times over
+
+
+def _ts_iso(col):
+    return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+
+def _dump_rows(spark, df, d: Path, per_file: int = 100) -> None:
+    rows = [r.asDict() for r in df.collect()]
+    full = [{"kind": "article", "board": "b", "page_index": 1, "dom_pos": 0,
+             **r} for r in rows]
+    _write_frontier_files(d, full, per_file=per_file)
+
+
+def test_url_seen_stream_equals_batch_twin(spark, stream_dirs):
+    """url_seen_stream (dropDuplicatesWithinWatermark) over the suite twin's
+    derived input emits exactly one row per canonical URL, and the key set
+    equals suite.stream_urlseen_twin's — the oracle-graded batch twin."""
+    from pttcrawler_spark import suite as S
+
+    ev = spark.read.parquet(f"{_SF_DIR}/events.parquet")
+    raw = S._messy_url(F.col("event_id") % 400, F.col("event_id") % 6)
+    src = stream_dirs / "twin_seen_in"
+    _dump_rows(spark,
+               ev.select(raw.alias("url"), _ts_iso("ts").alias("event_ts"))
+                 .orderBy("ts", "event_id"),
+               src)
+
+    out, chk = str(stream_dirs / "twin_seen_out"), str(stream_dirs / "twin_seen_chk")
+    q = (STR.url_seen_stream(STR.frontier_file_stream(spark, str(src)),
+                             watermark_s=_BIG_WM)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    twin = S.stream_urlseen_twin(spark, _SF_DIR)
+    got_keys = {r.canon_url for r in got.select("canon_url").collect()}
+    twin_keys = {r.canon_url for r in twin.select("canon_url").collect()}
+    assert got.count() == len(got_keys)          # exactly-once per key
+    assert got_keys == twin_keys
+
+
+def test_fetch_latency_stream_equals_batch_twin(spark, stream_dirs):
+    """fetch_latency_stream (watermarked interval join) over the suite
+    twin's derived discovery/fetch streams equals suite.stream_latency_twin
+    row-for-row ((url, disc_ts, fetch_ts, latency_s) multisets)."""
+    from pttcrawler_spark import suite as S
+
+    ev = spark.read.parquet(f"{_SF_DIR}/events.parquet")
+    url = F.concat(F.lit("https://www.ptt.cc/u/"),
+                   F.col("user_id").cast("string"))
+    d_src, f_src = stream_dirs / "twin_lat_d", stream_dirs / "twin_lat_f"
+    _dump_rows(spark,
+               ev.where(F.col("event_type") == "view")
+                 .select(url.alias("url"), _ts_iso("ts").alias("event_ts"))
+                 .orderBy("ts"), d_src)
+    _dump_rows(spark,
+               ev.where(F.col("event_type") == "click")
+                 .select(url.alias("url"), _ts_iso("ts").alias("event_ts"))
+                 .orderBy("ts"), f_src)
+
+    out, chk = str(stream_dirs / "twin_lat_out"), str(stream_dirs / "twin_lat_chk")
+    q = (STR.fetch_latency_stream(
+            STR.frontier_file_stream(spark, str(d_src)),
+            STR.frontier_file_stream(spark, str(f_src)),
+            max_lag_s=S._LATENCY_MAX_LAG_S, watermark_s=_BIG_WM)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = (spark.read.parquet(out)
+           .select("url", _ts_iso("disc_ts").alias("dt"),
+                   _ts_iso("fetch_ts").alias("ft"), "latency_s"))
+    # map the twin's event ids back to timestamps for the comparison
+    twin = S.stream_latency_twin(spark, _SF_DIR)
+    ids = ev.select("event_id", "ts")
+    exp = (twin
+           .join(ids.select(F.col("event_id").alias("disc_event_id"),
+                            _ts_iso("ts").alias("dt")), "disc_event_id")
+           .join(ids.select(F.col("event_id").alias("fetch_event_id"),
+                            _ts_iso("ts").alias("ft")), "fetch_event_id")
+           .select("url", "dt", "ft", "latency_s"))
+    got_rows = sorted(map(tuple, got.collect()))
+    exp_rows = sorted(map(tuple, exp.collect()))
+    assert len(got_rows) == len(exp_rows) > 0
+    assert got_rows == exp_rows
