@@ -255,7 +255,31 @@ def crawl(spark: SparkSession, corpus: DataFrame | None,
     """``corpus``: simulated-fetch page table (tests/benches), or None when
     ``fetcher`` is given — a callable admitted-DataFrame → fetched-DataFrame
     (same rows + _html/payload columns), e.g. sources.http_fetch.fetcher_for
-    for a REAL network fetch stage."""
+    for a REAL network fetch stage.
+
+    Holds the store lock (_LOCK.json) for the whole run: a migration
+    (engine/migrate.migrate_state) must never rewrite state dirs under a
+    live crawl and vice versa. A brand-new store is stamped at the HEAD
+    schema revision before batch 0 (engine/migrate.stamp_new_store), so
+    `migrate current` reports the truth and the first migrate is a no-op."""
+    from . import migrate as MG
+
+    lock = ST.acquire_lock(out_dir, owner="crawl")
+    try:
+        # no-op unless the store is genuinely brand-new (no marker AND no
+        # committed state) — resume of a pre-revision store keeps the
+        # no-marker => r1_initial fallback
+        MG.stamp_new_store(out_dir)
+        return _crawl_impl(spark, corpus, seeds, out_dir, cfg, resume,
+                           fetcher)
+    finally:
+        ST.release_lock(lock)
+
+
+def _crawl_impl(spark: SparkSession, corpus: DataFrame | None,
+                seeds: list[tuple[str, str]],
+                out_dir: str, cfg: CrawlConfig | None = None,
+                resume: bool = False, fetcher=None) -> CrawlResult:
     cfg = cfg or CrawlConfig()
     if corpus is None and fetcher is None:
         raise ValueError("need a corpus or a fetcher")

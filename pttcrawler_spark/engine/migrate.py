@@ -71,6 +71,23 @@ def stamp(store_dir: str, rev: str) -> None:
         json.dumps({"revision": rev}))
 
 
+def stamp_new_store(store_dir: str) -> None:
+    """Stamp a BRAND-NEW store at HEAD (called by crawl() before batch 0 of
+    a fresh store — the analog of alembic stamping head on create_all).
+    Without this, `migrate current` reports r1_initial for a store current
+    code just wrote, and the first migrate re-walks every upgrade step's
+    directory scans for nothing. The no-marker ⇒ r1_initial fallback is
+    kept ONLY for genuinely pre-revision stores: a store with committed
+    state but no marker is left alone."""
+    p = Path(store_dir)
+    if (p / _MARKER).exists():
+        return
+    if ST.latest_committed(store_dir) is not None:
+        return  # pre-revision store: the r1 fallback must keep applying
+    p.mkdir(parents=True, exist_ok=True)
+    stamp(store_dir, HEAD)
+
+
 def _state_dirs(store_dir: str, name: str) -> list[Path]:
     """All committed ``state/batch=N/<name>`` dirs (orphans excluded —
     resume ignores them, so migrating them would be wasted work). Full
@@ -159,16 +176,28 @@ def migrate_state(spark: SparkSession, store_dir: str,
 
     Returns {revision: dirs_rewritten} for each step applied. Downgrades
     are refused (the reference's downgrade() paths exist for dev loops;
-    state stores only roll forward — restore a snapshot to go back)."""
+    state stores only roll forward — restore a snapshot to go back).
+
+    EXCLUSIVE ACCESS: migration takes the store lock (_LOCK.json) for its
+    whole duration and refuses to run while a live crawl holds it — the
+    _add_columns rename swap has a window where a state dir does not exist,
+    so a concurrent crawl resume or reader could see a committed batch with
+    a missing frontier/politeness dir. Crash recovery (stale dead-pid
+    locks, half-rewritten dirs) remains automatic; CONCURRENCY is refused,
+    not tolerated."""
     cur, want = revision(store_dir), to_rev
     ci, wi = REVISIONS.index(cur), REVISIONS.index(want)
     if wi < ci:
         raise ValueError(f"refusing downgrade {cur} -> {want}")
-    applied: dict[str, int] = {}
-    for rev in REVISIONS[ci + 1:wi + 1]:
-        applied[rev] = _UPGRADES[rev](spark, store_dir)
-        stamp(store_dir, rev)  # stamp AFTER the step: crash = re-run step
-    return applied
+    lock = ST.acquire_lock(store_dir, owner="migrate")
+    try:
+        applied: dict[str, int] = {}
+        for rev in REVISIONS[ci + 1:wi + 1]:
+            applied[rev] = _UPGRADES[rev](spark, store_dir)
+            stamp(store_dir, rev)  # stamp AFTER the step: crash = re-run step
+        return applied
+    finally:
+        ST.release_lock(lock)
 
 
 def downgrade_for_test(spark: SparkSession, store_dir: str) -> None:

@@ -36,6 +36,54 @@ from pyspark.sql import functions as F
 
 STATE = "state"
 TABLES = "tables"
+LOCK_FILE = "_LOCK.json"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False
+
+
+def acquire_lock(store_dir: str, owner: str) -> Path:
+    """Exclusive store-dir lock (crawl ↔ migrate mutual exclusion).
+
+    O_EXCL-create of ``_LOCK.json`` carrying (pid, owner). A live holder in
+    ANOTHER process makes acquisition fail loudly — a migration must never
+    rewrite state dirs under a running crawl (engine/migrate._add_columns
+    has a rename window where the dir does not exist), and a crawl must not
+    resume mid-migration. A lock whose pid is dead (killed run) or is THIS
+    process (serialized calls within one driver) is stale and is broken.
+    """
+    p = Path(store_dir) / LOCK_FILE
+    p.parent.mkdir(parents=True, exist_ok=True)
+    for _ in range(3):
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, json.dumps(
+                {"pid": os.getpid(), "owner": owner}).encode())
+            os.close(fd)
+            return p
+        except FileExistsError:
+            try:
+                info = json.loads(p.read_text())
+                pid = int(info.get("pid", -1))
+            except (OSError, ValueError):
+                pid, info = -1, {}
+            if pid > 0 and pid != os.getpid() and _pid_alive(pid):
+                raise RuntimeError(
+                    f"store {store_dir} is locked by live "
+                    f"{info.get('owner', '?')} pid {pid}; refusing to run "
+                    f"concurrently (remove {LOCK_FILE} only if that "
+                    "process is truly gone)")
+            p.unlink(missing_ok=True)  # stale holder: break and retry
+    raise RuntimeError(f"could not acquire {p}")
+
+
+def release_lock(lock_path: Path) -> None:
+    Path(lock_path).unlink(missing_ok=True)
 
 
 def _sized(df: DataFrame) -> DataFrame:

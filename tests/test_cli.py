@@ -88,14 +88,16 @@ def test_asn_ip_list():
 
 
 def test_migrate_cli_roundtrip(store):
-    # fresh stores are written at the head layout; `current` defaults to
-    # the oldest revision until a stamp exists, and upgrade is then a
-    # no-op that stamps head (every step idempotently skips)
+    # fresh stores are STAMPED HEAD at creation (engine/migrate.
+    # stamp_new_store, round-3 ADVICE): `current` reports the truth
+    # immediately and upgrade is a clean no-op — no directory re-walk. The
+    # no-marker => r1_initial fallback now applies only to genuinely
+    # pre-revision stores (tests/test_migrate.py::old_store).
     cp = run_cli("migrate", "--store", store, "current")
-    assert cp.returncode == 0 and cp.stdout.strip() == "r1_initial"
+    assert cp.returncode == 0 and cp.stdout.strip() == "r4_robots_nullable"
     cp = run_cli("migrate", "--store", store, "--cores", "2", "upgrade")
     assert cp.returncode == 0, cp.stderr[-2000:]
-    assert "0 dirs rewritten" in cp.stdout
+    assert "already at r4_robots_nullable" in cp.stdout
     cp = run_cli("migrate", "--store", store, "current")
     assert cp.stdout.strip() == "r4_robots_nullable"
 

@@ -65,3 +65,50 @@ def test_migrate_is_idempotent_and_refuses_downgrade(spark, old_store):
     assert all(n == 0 for n in again.values())
     with pytest.raises(ValueError, match="downgrade"):
         M.migrate_state(spark, old_store, to_rev="r2_retry_count")
+
+
+def test_fresh_store_is_stamped_head(spark, site_cfg, corpus_pdf):
+    """A store created by current code is stamped HEAD at creation (round-3
+    ADVICE): `migrate current` tells the truth for brand-new stores and the
+    first migrate is a clean no-op, not a full directory re-walk. The
+    no-marker => r1_initial fallback stays reserved for genuinely
+    pre-revision stores (covered by old_store above)."""
+    corpus = spark.createDataFrame(corpus_pdf)
+    out = tempfile.mkdtemp(prefix="crawl_fresh_stamp_")
+    try:
+        C.crawl(spark, corpus, seeds_for(site_cfg), out,
+                C.CrawlConfig(delay_s=2.0, batch_seconds=20.0, max_batches=1))
+        assert M.revision(out) == M.HEAD
+        assert M.migrate_state(spark, out) == {}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_migrate_refuses_while_crawl_lock_held(spark, old_store):
+    """Exclusive access (round-3 ADVICE): migration must refuse to run while
+    a live crawl holds the store lock — _add_columns has a rename window
+    where a state dir does not exist."""
+    lock = ST.acquire_lock(old_store, owner="crawl")
+    # a DIFFERENT live process is the hazard; same-pid locks are treated as
+    # stale (serialized calls in one driver), so fake another live holder
+    import json as _json
+    import pathlib
+    p = pathlib.Path(lock)
+    info = _json.loads(p.read_text())
+    import subprocess
+    import sys
+    other = subprocess.Popen([sys.executable, "-c",
+                              "import time; time.sleep(60)"])
+    try:
+        info["pid"] = other.pid
+        p.write_text(_json.dumps(info))
+        with pytest.raises(RuntimeError, match="locked by live"):
+            M.migrate_state(spark, old_store)
+    finally:
+        other.kill()
+        other.wait()
+        ST.release_lock(lock)
+    # dead-pid lock is stale and must NOT block (killed-run recovery)
+    p.write_text(_json.dumps({"pid": other.pid, "owner": "crawl"}))
+    assert isinstance(M.migrate_state(spark, old_store), dict)
+    assert not p.exists()  # migrate released its own lock
