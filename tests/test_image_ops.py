@@ -138,3 +138,43 @@ def test_video_codec_roundtrip():
     pcm = av.make_waveform("ax")
     dec2, rate = av.decode_audio(av.encode_audio(pcm))
     assert rate == 8000 and (dec2 == pcm).all()
+
+
+def test_fast_paths_bit_identical_to_reference_loops():
+    """The round-4 perf rewrites of make_pixels (repeat×repeat for kron)
+    and phash64 (packbits for the shift-or loop) must be BIT-identical —
+    every committed phash / payload byte depends on them."""
+    rng_ids = [f"img-{i}" for i in range(1000)] + [f"b{i}/p{i % 7}" for i in range(500)]
+    sizes = [(32, 32), (8, 8), (48, 32), (7, 5), (64, 64)]
+    checked = 0
+    for n, iid in enumerate(rng_ids):
+        w, h = sizes[n % len(sizes)]
+        px = I.make_pixels(iid, w, h)
+        # reference make_pixels: np.kron low-frequency overlay
+        rng = np.random.default_rng(I.seed_for(iid))
+        base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blocks = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        low = np.kron(blocks, np.ones((max(h // 8, 1), max(w // 8, 1)),
+                                      dtype=np.uint8))[:h, :w]
+        ref = ((base.astype(np.uint16) + low[:, :, None].astype(np.uint16)) // 2
+               ).astype(np.uint8)
+        assert np.array_equal(px, ref), iid
+        # reference phash64: shift-or bit loop (with the same tiny-image
+        # edge pad — the pre-rewrite code CRASHED below 8px, so the pad is
+        # new behavior shared by both paths, not a fast-path divergence)
+        gray = px.mean(axis=2)
+        gh, gw = gray.shape
+        if gh < 8 or gw < 8:
+            gray = np.pad(gray, ((0, max(8 - gh, 0)), (0, max(8 - gw, 0))),
+                          mode="edge")
+            gh, gw = gray.shape
+        bh, bw = max(gh // 8, 1), max(gw // 8, 1)
+        bl = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+        bits = (bl > bl.mean()).flatten()
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
+        expect = int(np.int64(np.uint64(val)))
+        assert I.phash64(px) == expect, iid
+        checked += 2
+    assert checked == 3000
