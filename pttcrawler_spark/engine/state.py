@@ -133,8 +133,8 @@ def commit_batch(out_dir: str, batch_id: int, frontier: DataFrame | None,
     # state tables are small → REBALANCE into size-appropriate files.
     # Output tables (image payloads!) keep their natural partitioning from
     # the fetch scan — a rebalance would shuffle every image byte a second
-    # time — and use snappy: the payload bytes are already codec-compressed,
-    # so heavier codecs only burn CPU on incompressible data.
+    # time — and binary-column tables are written UNCOMPRESSED (see the
+    # measured numbers in _write below).
     jobs: list[tuple[str, DataFrame, bool]] = [
         (str(d / "politeness"), politeness, True),
     ]
