@@ -383,7 +383,11 @@ def scaling_bench(spark, levels=SCALING_LEVELS) -> dict:
             r = _run_worker(cores, SITE_SCALING, corpus_path)
             r.pop("batch_stats", None)
             out[f"local[{cores}]"] = r
-        for lo, hi in zip(levels, levels[1:]):
+        # adjacent pairs (diagnostic: where scaling bends) + every N→4N pair
+        # present in the level set (the BASELINE.json criterion is N vs 4N)
+        pairs = list(zip(levels, levels[1:])) + [
+            (lo, lo * 4) for lo in levels if lo * 4 in levels]
+        for lo, hi in pairs:
             for key, tag in [("urls_per_sec", "overall"),
                              ("sustained_urls_per_sec", "sustained"),
                              ("median_batch_urls_per_sec", "median_batch")]:
