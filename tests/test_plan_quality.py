@@ -246,3 +246,37 @@ def test_percentile_approx_single_exchange(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert "approx_percentile" in plan
+
+
+def test_urlseen_twin_single_exchange_no_python(spark):
+    """stream_urlseen_twin: first-event-per-canonical-url must be ONE
+    hash-partition Exchange on the canon key feeding the window rank; the
+    RE2 canonicalizer chain and variant synthesis stay JVM-side (no
+    Python/Arrow eval node in the plan)."""
+    plan = _plan(spark, "stream_urlseen_twin")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_latency_twin_equi_join_not_bnlj(spark):
+    """stream_latency_twin: the interval join must plan as an EQUI-join on
+    url with the time range as a residual condition — a
+    BroadcastNestedLoopJoin/CartesianProduct here would be O(n^2) at scale
+    (the whole point of keying the interval join on url)."""
+    plan = _plan(spark, "stream_latency_twin")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
+
+
+def test_dedup_pipeline_e2e_no_cartesian(spark):
+    """dedup_pipeline_e2e composes minhash-LSH banding, the CC cluster
+    loop's final plan, keeper selection, and the survivor left-join — at no
+    point may the composition degrade to an all-pairs product (e.g. a
+    band-hash collision blowing up into a cross join)."""
+    plan = _plan(spark, "dedup_pipeline_e2e")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
