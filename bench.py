@@ -364,23 +364,26 @@ def cpu_sustained_bench(levels=SCALING_LEVELS, seconds=20.0) -> dict:
     return out
 
 
-def scaling_bench(spark, levels=SCALING_LEVELS) -> dict:
+def scaling_bench(spark, levels=SCALING_LEVELS, site=None) -> dict:
     """The SAME crawl job on the SAME corpus at each parallelism level, each
-    in a FRESH JVM — the sandbox substitution for N vs 4N executors."""
+    in a FRESH JVM — the sandbox substitution for N vs 4N executors.
+    ``site`` overrides the corpus geometry (default SITE_SCALING) — used to
+    measure how batch size changes amortization at high core counts."""
+    site = site or SITE_SCALING
     tmp = tempfile.mkdtemp(prefix="crawl_scaling_corpus_", dir=SCRATCH)
     corpus_path = os.path.join(tmp, "corpus")
     try:
-        prepare_corpus(spark, SITE_SCALING, corpus_path)
+        prepare_corpus(spark, site, corpus_path)
         # the parent's idle 32-thread JVM must not coexist with the measured
         # workers (it GCs, holds memory, and skews every level low —
         # measured ~30% slower sustained with it alive)
         spark.stop()
-        out: dict = {"site": SITE_SCALING,
+        out: dict = {"site": site,
                      "pinned": bool(shutil.which("taskset")),
                      "host_mem_stream_GBps": mem_stream_bench(levels),
                      "host_cpu_sustained_Mops": cpu_sustained_bench(levels)}
         for cores in levels:
-            r = _run_worker(cores, SITE_SCALING, corpus_path)
+            r = _run_worker(cores, site, corpus_path)
             r.pop("batch_stats", None)
             out[f"local[{cores}]"] = r
         # adjacent pairs (diagnostic: where scaling bends) + every N→4N pair
