@@ -1143,6 +1143,155 @@ def text_ngram_lm_score(spark, sf_dir):
                  F.count("*").cast("bigint").alias("n_tokens")))
 
 
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3 appendix-C / Gopher eval-overlap
+    gate): a pre-training corpus must drop documents that contain an n-gram
+    from the eval/benchmark set. The benchmark here is derived
+    deterministically — one 8-gram lifted from words 3-10 of every
+    doc_id % 7 == 0 document — and a corpus doc is contaminated iff any of
+    its distinct word 8-grams md5-matches a benchmark gram. Scale shape:
+    the benchmark gram set is tiny relative to the corpus (eval suites are
+    KBs, corpora are TBs) → broadcast join; the corpus side shuffles
+    nothing — grams are generated and probed map-side, only (doc_id,
+    n_hits) survives to the aggregate. Gram construction reuses the
+    codegen-safe zip_with shingle builder (no interpreted HOF re-eval)."""
+    docs = (t(spark, sf_dir, "documents")
+            .select("doc_id", _words(F.col("text")).alias("ws")))
+    bench = (docs.where(F.col("doc_id") % 7 == 0)
+             .select(F.md5(F.array_join(F.slice("ws", 3, 8), " ")).alias("g"))
+             .distinct())
+    grams = (docs.select(
+                 "doc_id",
+                 F.explode(_shingles_of_words(F.col("ws"), 8)).alias("gram"))
+             .select("doc_id", F.md5("gram").alias("g")))
+    hits = (grams.join(F.broadcast(bench), "g")
+            .groupBy("doc_id").agg(F.count("*").alias("hits")))
+    return (docs.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("hits", F.lit(0)).cast("bigint").alias("n_hits"),
+                    (F.coalesce("hits", F.lit(0)) > 0).alias("contaminated")))
+
+
+def text_line_dedup(spark, sf_dir):
+    """C4-style line-level dedup: exact duplicate lines are removed
+    corpus-wide, keeping only the FIRST occurrence (by doc_id, then line
+    position) — the cleanup C4 §2.2 applies before doc-level dedup. The
+    synthetic corpus has no newlines, so a 'line' is a deterministic
+    4-token chunk. Fully distributed: tokens shuffle once on
+    (doc_id, line_no) to assemble lines, lines shuffle once on the line
+    text for the first-occurrence window, and the per-doc rebuild
+    aggregates on doc_id — three shuffles, all narrow rows, text chunks
+    ≤ 4 words each; no driver round-trips, no interpreted HOFs."""
+    toks = (t(spark, sf_dir, "documents")
+            .select("doc_id", F.posexplode(_words(F.col("text")))
+                    .alias("pos", "tok")))
+    lines = (toks.withColumn("line_no", (F.col("pos") / 4).cast("int"))
+             .groupBy("doc_id", "line_no")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                     lambda x: x.tok), " ").alias("line")))
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    kept = lines.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("line_no", "line"))
+    return (kept.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_lines"),
+                 F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_kept"),
+                 F.md5(F.coalesce(
+                     F.array_join(
+                         F.transform(F.array_sort(F.collect_list(kept_struct)),
+                                     lambda x: x.line), "\n"),
+                     F.lit(""))).alias("kept_md5")))
+
+
+def text_heavy_hitters(spark, sf_dir):
+    """Frequent-token heavy hitters with a Count-Min sketch attested
+    in-query against the exact counts (the a8b/a10 self-grading pattern).
+    The exact path is a plain token groupBy; the scale path — the only
+    mergeable plan when the token universe no longer fits an executor —
+    is a d=4 × w=512 CMS built as ONE extra partial-aggregatable shuffle
+    on (row, bucket): each token's count feeds 4 buckets via universal
+    hashes (a_i·h + b_i mod p mod w), and the estimate is the min over
+    its 4 buckets. CMS guarantees est ≥ exact; the oracle pins cms_ok
+    true, so a hash match certifies every token's estimate landed within
+    the N/64 overcount bound (ε = 8/w at d=4 — generous; the expected
+    collision mass is N/512 per row, min over 4 rows far below N/64)."""
+    P = 2147483647
+    A = [1299709, 15485863, 32452843, 49979687]
+    B = [104729, 224737, 350377, 479909]
+    W_BUCKETS = 512
+    words = (t(spark, sf_dir, "documents")
+             .select(F.explode(_words(F.col("text"))).alias("w")))
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("bigint").alias("N"))
+    h = (F.conv(F.substring(F.md5("w"), 1, 7), 16, 10).cast("long") % P)
+    buckets = freq.select(
+        "w", "c",
+        F.posexplode(F.array(*[
+            ((F.lit(A[i]) * h + F.lit(B[i])) % P % W_BUCKETS).cast("int")
+            for i in range(4)])).alias("row", "bucket"))
+    cms = (buckets.groupBy("row", "bucket")
+           .agg(F.sum("c").alias("bc")))
+    est = (buckets.join(cms, ["row", "bucket"])
+           .groupBy("w").agg(F.min("bc").alias("est"), F.first("c").alias("c")))
+    return (est.crossJoin(F.broadcast(tot))
+            .select(F.col("w").alias("token"),
+                    F.col("c").cast("bigint").alias("n_exact"),
+                    (F.col("c") * 40 > F.col("N")).alias("is_heavy"),
+                    ((F.col("est") >= F.col("c"))
+                     & (F.col("est") <= F.col("c") + F.col("N") / 64))
+                    .alias("cms_ok")))
+
+
+def sample_reservoir(spark, sf_dir):
+    """Fixed-size uniform sample, reservoir semantics, RNG-free: the
+    k-minimum-values trick (rank every key by a uniform hash, keep the k
+    smallest) yields exactly the uniform-without-replacement sample a
+    sequential reservoir would, but is order-independent, deterministic on
+    any cluster size, and mergeable — each partition keeps its local k
+    smallest, the driver merges (Spark's TakeOrderedAndProject: no global
+    sort, no reservoir state to serialize). Complements sample_stratified
+    (per-stratum rate gate) with the fixed-SIZE sample a training-mix
+    builder needs."""
+    k = 64
+    ranked = (t(spark, sf_dir, "documents")
+              .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+              .orderBy("h").limit(k))
+    w = Window.orderBy("h")
+    return (ranked.withColumn("sample_rank", F.row_number().over(w))
+            .select("doc_id", "sample_rank"))
+
+
+def text_bm25(spark, sf_dir):
+    """BM25 relevance scoring against a fixed query (k1=1.2, b=0.75) — the
+    retrieval scorer data-curation stacks use for quality-by-query and
+    dedup-by-retrieval. All corpus statistics arrive as broadcast dims:
+    df (one row per query term), N and avgdl (one row total); the fact
+    side shuffles once on doc_id for term frequencies. idf uses the
+    monotone BM25+ form ln(1 + (N - df + .5)/(df + .5)) so scores stay
+    positive."""
+    terms = ["join", "hash", "window"]
+    k1, b = 1.2, 0.75
+    words = (t(spark, sf_dir, "documents")
+             .select("doc_id", F.explode(_words(F.col("text"))).alias("w")))
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").cast("double").alias("N"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (words.where(F.col("w").isin(terms))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)
+               / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+    return (tf.join(F.broadcast(df_), "w")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(idf * tf_part), 4).alias("bm25"),
+                 F.count("*").cast("bigint").alias("n_terms")))
+
+
 # --- remaining SURVEY §2 operators -------------------------------------------
 def j4_enrich_semi(spark, sf_dir):
     """J4: push ⋈ ip_asn + semi-filter on history ids, query.py:107-109 —
@@ -2127,6 +2276,90 @@ ORACLE_SQL: dict[str, str] = {
                 FROM documents)
           GROUP BY token)
         WHERE rank <= 10""",
+    # Benchmark set = one 8-gram (words 3-10) per doc_id%7==0 doc; a doc is
+    # contaminated iff any of its DISTINCT word 8-grams md5-matches one.
+    "text_decontaminate": """
+        WITH ws AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents),
+        bench AS (
+          SELECT DISTINCT md5(array_to_string(w[3:10], ' ')) AS g
+          FROM ws WHERE doc_id % 7 = 0),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 7, 0) + 1),
+                   i -> md5(array_to_string(w[i:i+7], ' '))))) AS g
+          FROM ws),
+        hits AS (
+          SELECT doc_id, count(*) AS hits
+          FROM grams JOIN bench USING (g) GROUP BY doc_id)
+        SELECT ws.doc_id,
+               CAST(coalesce(hits, 0) AS BIGINT) AS n_hits,
+               coalesce(hits, 0) > 0 AS contaminated
+        FROM ws LEFT JOIN hits ON ws.doc_id = hits.doc_id""",
+    # 'Lines' are deterministic 4-token chunks; first occurrence
+    # (doc_id, line_no) of each exact line is the keeper.
+    "text_line_dedup": """
+        WITH ws AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents),
+        toks AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS tok
+          FROM ws, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+        lines AS (
+          SELECT doc_id, CAST(pos // 4 AS INT) AS line_no,
+                 string_agg(tok, ' ' ORDER BY pos) AS line
+          FROM toks GROUP BY doc_id, pos // 4),
+        marked AS (
+          SELECT doc_id, line_no, line,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, line_no) AS rn
+          FROM lines)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                                       chr(10) ORDER BY line_no), ''))
+                 AS kept_md5
+        FROM marked GROUP BY doc_id""",
+    # the oracle IS the tolerance contract (a8b/a10 pattern): every token's
+    # CMS estimate must satisfy exact <= est <= exact + N/64
+    "text_heavy_hitters": """
+        WITH words AS (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents),
+        freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM freq)
+        SELECT w AS token, CAST(c AS BIGINT) AS n_exact,
+               (c * 40 > N) AS is_heavy, TRUE AS cms_ok
+        FROM freq, tot""",
+    "sample_reservoir": """
+        SELECT doc_id, CAST(sample_rank AS INT) AS sample_rank FROM (
+          SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS sample_rank
+          FROM documents)
+        WHERE sample_rank <= 64""",
+    "text_bm25": """
+        WITH words AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS N,
+                         avg(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+               WHERE w IN ('join', 'hash', 'window') GROUP BY doc_id, w),
+        dfreq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df
+                  FROM tf GROUP BY w)
+        SELECT tf.doc_id,
+               round(sum(ln(1.0 + (N - df + 0.5) / (df + 0.5))
+                         * (tf * 2.2
+                            / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 4)
+                 AS bm25,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id), stats
+        GROUP BY tf.doc_id""",
     "dedup_minhash_lsh": """
         WITH d AS (
           SELECT doc_id,
@@ -2789,6 +3022,11 @@ def queries():
         "dedup_pipeline_e2e": dedup_pipeline_e2e,
         "stream_urlseen_twin": stream_urlseen_twin,
         "stream_latency_twin": stream_latency_twin,
+        "text_decontaminate": text_decontaminate,
+        "text_line_dedup": text_line_dedup,
+        "text_heavy_hitters": text_heavy_hitters,
+        "sample_reservoir": sample_reservoir,
+        "text_bm25": text_bm25,
         # -- (c) latest green row is r01/r02 --
         "dedup_exact": dedup_exact,
         "dedup_embedding_cosine": dedup_embedding_cosine,
