@@ -136,6 +136,20 @@ class CrawlConfig:
     bloom_partitions: int = 16
     bloom_bits_per_key: int = 16
     verify_payload: bool = True     # north-rule per-row PSNR/phash/caption check
+    # Run the verify stage as a pipelined FOLLOW-ON job per batch: batch k's
+    # verify reads the COMMITTED images+parsed tables (not the in-memory
+    # cache) and overlaps batch k+1's admit/fetch/parse. Unlike
+    # pipeline_commits this pins no second heavy cache — the verify input is
+    # the just-written parquet — and its output is derived data committed
+    # outside the batch marker (trusted via _SUCCESS, repaired on resume by
+    # engine/verify.repair_missing_verify). Measured at local[32] on the
+    # 860k-URL scaling corpus: the commit barrier drops 12.9 s → ~8 s of an
+    # ~18 s steady batch; batch wall is ~unchanged on THIS host because the
+    # loop is memory-bus-bound (the verify's bytes stream the same bus
+    # either way) — the win here is a halved durability barrier, and on a
+    # real cluster (per-node buses) the overlap is throughput. False = the
+    # verify is a table write inside the commit barrier (round-3 behavior).
+    verify_async: bool = True
     compact_every: int = 64         # full-frontier compaction cadence (batches)
     # Overlap batch k's durability writes with batch k+1's compute on a
     # single-slot background thread. OFF by default: overlapping keeps TWO
@@ -291,6 +305,11 @@ def _crawl_impl(spark: SparkSession, corpus: DataFrame | None,
     snap = ST.load_snapshot(spark, out_dir) if resume else None
     if snap is not None:
         frontier, politeness, batch_id = snap.frontier, snap.politeness, snap.batch_id
+        if cfg.verify_payload:
+            # a kill between a batch's _COMMIT marker and its (post-marker,
+            # derived) payload_verify write leaves a hole — recompute it
+            # from the committed tables before crawling on (idempotent)
+            V.repair_missing_verify(spark, out_dir, batch_id)
     else:
         frontier = seed_frontier(spark, seeds)
         politeness = _init_politeness(frontier, cfg)
@@ -317,6 +336,21 @@ def _crawl_impl(spark: SparkSession, corpus: DataFrame | None,
     commit_pool = ThreadPoolExecutor(max_workers=1)   # single-slot: sequential markers
     commit_fut = None
     commit_caches: list[DataFrame] = []
+    verify_pool = ThreadPoolExecutor(max_workers=1)   # single-slot: sequential verify
+    verify_fut = None
+
+    def _submit_verify(bid: int) -> None:
+        """Queue batch ``bid``'s post-commit verify job. Awaiting the
+        previous future first bounds outstanding verify work to one batch
+        (backpressure — in steady state verify (~5 s) finishes well inside
+        the next batch (~13 s), so the await is normally instant)."""
+        nonlocal verify_fut
+        if not (cfg.verify_payload and cfg.verify_async):
+            return
+        if verify_fut is not None:
+            verify_fut.result()
+        verify_fut = verify_pool.submit(
+            V.verify_committed_batch, spark, out_dir, bid)
     # loop-critical jobs (materialize, checkpoints) share executors FAIRly
     # with the pipelined commit writes (pool "commit", engine/state.py)
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "loop")
@@ -499,9 +533,11 @@ def _crawl_impl(spark: SparkSession, corpus: DataFrame | None,
         tables["parsed_pushes"] = parsed_pushes
         tables["images"] = images
         tables["parse_errors"] = parse_errors
-        if cfg.verify_payload:
+        if cfg.verify_payload and not cfg.verify_async:
             # north-rule per-row invariant: decode + PSNR vs reference
-            # render + phash recompute + caption==title, Arrow-batched
+            # render + phash recompute + caption==title, Arrow-batched.
+            # (verify_async runs this same stage as a post-commit job over
+            # the committed tables instead — see _submit_verify below)
             tables["payload_verify"] = V.verify_payloads(art_img)
         article_index = entries.select(
             F.col("entry_web_id").alias("web_id"), "board",
@@ -659,6 +695,7 @@ def _crawl_impl(spark: SparkSession, corpus: DataFrame | None,
             commit_fut.result()
             for df in commit_caches:
                 df.unpersist()
+            _submit_verify(batch_id - 1)
             ph.mark("await previous commit")
         full_due = batch_id % cfg.compact_every == 0
         commit_fut = commit_pool.submit(
@@ -681,6 +718,9 @@ def _crawl_impl(spark: SparkSession, corpus: DataFrame | None,
             for df in commit_caches:
                 df.unpersist()
             commit_caches = []
+            # batch N durably committed → its verify runs while batch N+1
+            # computes (reads the committed parquet, pins no cache)
+            _submit_verify(batch_id)
         ph.mark("commit submit + checkpoint")
         n_rows = sum(c for c, _ in kc.values())
         stats = {
@@ -711,7 +751,11 @@ def _crawl_impl(spark: SparkSession, corpus: DataFrame | None,
         for df in commit_caches:
             df.unpersist()
         commit_fut = None
+        _submit_verify(batch_id)
     commit_pool.shutdown()
+    if verify_fut is not None:
+        verify_fut.result()
+    verify_pool.shutdown()
 
     if batch_stats and batch_id % cfg.compact_every != 0:
         # cheap-read compaction: downstream consumers (store/export) read

@@ -138,3 +138,77 @@ def verify_payloads(
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
             "expected_caption"]
     return df.select(*cols).mapInPandas(run, schema=VERIFY_DDL)
+
+
+# --- pipelined (post-commit) verify -----------------------------------------
+#
+# At scale the verify stage is a DOWNSTREAM CONSUMER of the crawl, not part
+# of the crawl's durability barrier: its input is the committed ``images``
+# table, its output is derived (recomputable) data. Running it as a
+# follow-on job per batch lets batch k's verify overlap batch k+1's
+# admit/fetch/parse — Python+memory-bus work overlapping JVM-heavy work —
+# without pinning batch k's heavy in-memory cache (the problem that got
+# whole-commit pipelining gated off, CrawlConfig.pipeline_commits).
+#
+# The ``expected_caption`` column is NOT stored in the images table; it is
+# re-derived from the committed parsed_articles table. Safe because
+# expected_caption ≡ title by construction (functions/parse.py: title =
+# when(has_metas, coalesce(meta2, '')).otherwise('') and expected_caption =
+# coalesce(try_element_at(metas, 2), '') — try_element_at of an empty array
+# is NULL, so both reduce to coalesce(meta2, '') in every branch; pinned by
+# tests/test_properties.py::test_expected_caption_equals_title).
+#
+# Durability: ``tables/payload_verify/batch=N`` lands AFTER batch N's
+# _COMMIT.json marker and is trusted via Spark's _SUCCESS file; a crash
+# between the marker and the verify write leaves a committed batch without
+# a verify dir, which ``repair_missing_verify`` recomputes on resume
+# (idempotent overwrite — the exactly-once story for derived tables).
+
+
+def _batch_table_dir(out_dir: str, name: str, batch_id: int):
+    from pathlib import Path
+    return Path(out_dir) / "tables" / name / f"batch={batch_id}"
+
+
+def verify_committed_batch(spark, out_dir: str, batch_id: int,
+                           reference_render=None) -> None:
+    """Recompute + write ``payload_verify/batch=N`` from committed tables."""
+    from pyspark.sql import functions as F
+    img_dir = _batch_table_dir(out_dir, "images", batch_id)
+    parsed_dir = _batch_table_dir(out_dir, "parsed_articles", batch_id)
+    if not img_dir.exists() or not parsed_dir.exists():
+        return  # nothing fetched this batch (bootstrap/index-only)
+    # background thread: same FAIR pool as the commit writes so the next
+    # batch's loop jobs share executors instead of queueing behind this
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "commit")
+    captions = (spark.read.parquet(str(parsed_dir))
+                .select(F.col("web_id").alias("image_id"),
+                        F.col("title").alias("expected_caption")))
+    payload = (spark.read.parquet(str(img_dir))
+               .join(F.broadcast(captions), "image_id"))
+    out = verify_payloads(payload, reference_render=reference_render)
+    out.write.mode("overwrite").parquet(
+        str(_batch_table_dir(out_dir, "payload_verify", batch_id)))
+
+
+def repair_missing_verify(spark, out_dir: str, max_batch: int,
+                          reference_render=None) -> list[int]:
+    """Resume-time repair: recompute ``payload_verify`` for every committed
+    batch whose images dir exists but whose verify dir is missing or was
+    interrupted mid-write (no _SUCCESS). Normally at most the one batch
+    whose verify was in flight when the run died."""
+    from pathlib import Path
+    base = Path(out_dir) / "tables" / "images"
+    repaired = []
+    if not base.exists():
+        return repaired
+    for p in sorted(base.glob("batch=*")):
+        b = int(p.name.split("=")[1])
+        if b > max_batch:
+            continue
+        v = _batch_table_dir(out_dir, "payload_verify", b)
+        if not (v / "_SUCCESS").exists():
+            verify_committed_batch(spark, out_dir, b,
+                                   reference_render=reference_render)
+            repaired.append(b)
+    return repaired

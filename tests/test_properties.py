@@ -93,3 +93,33 @@ def test_canonicalize_idempotent_and_host_stable(spark):
     # no fragments or trailing '?' survive
     assert not res["c1"].str.contains("#").any()
     assert not res["c1"].str.endswith("?").any()
+
+
+def test_expected_caption_equals_title(spark, corpus_pdf):
+    """The async verify (engine/verify.verify_committed_batch) re-derives
+    expected_caption from the committed parsed_articles.title — valid only
+    because title ≡ expected_caption by construction (functions/parse.py:
+    both reduce to coalesce(meta2, '') in every metas branch). Pin that on
+    the full session corpus plus adversarial pages (no metas / 1 meta /
+    empty html)."""
+    from pyspark.sql import functions as F
+
+    from pttcrawler_spark.functions import parse as FP
+
+    arts = corpus_pdf[corpus_pdf.kind == "article"][["url", "html"]].copy()
+    extra = [
+        ("x://no-metas", "<div id='main-content'>plain</div>"),
+        ("x://empty", ""),
+        ("x://one-meta", "<span class='article-meta-value'>author</span>"),
+    ]
+    import pandas as pd
+    pdf = pd.concat([arts, pd.DataFrame(extra, columns=["url", "html"])])
+    df = (spark.createDataFrame(pdf)
+          .withColumn("web_id", F.col("url"))
+          .withColumn("board", F.lit("b"))
+          .withColumn("page_index", F.lit(1))
+          .withColumn("dom_pos", F.lit(1)))
+    out = (FP.parse_article_pages(df)
+           .select("title", "expected_caption").toPandas())
+    assert len(out) > 3
+    assert (out["title"] == out["expected_caption"]).all()
