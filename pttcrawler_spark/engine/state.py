@@ -159,6 +159,16 @@ def commit_batch(out_dir: str, batch_id: int, frontier: DataFrame | None,
         # of queueing behind 30-45 s of payload writes (session.py conf)
         df.sparkSession.sparkContext.setLocalProperty(
             "spark.scheduler.pool", "commit")
+        # output tables COALESCE to ~one file per core (shuffle-free; the
+        # upstream stage still runs core-wide): the natural partitioning
+        # inherits the fetch scan's fine splits (~240 per steady batch) and
+        # per-file open/footer cost dominates these sub-second writes —
+        # measured at local[32] on an 860k-row narrow table: natural 240
+        # files 1.0-2.5 s, rebalance 1.1-1.6 s (adds a shuffle barrier),
+        # coalesce(32) 0.3-0.4 s. State tables keep the REBALANCE path:
+        # they must also SPLIT (a 10^10-row frontier compaction needs more
+        # files than cores) and AQE sizes those shuffles well.
+        par = df.sparkSession.sparkContext.defaultParallelism
         if is_state:
             _sized(df).write.mode("overwrite").parquet(path)
         elif any(t == "binary" for _, t in df.dtypes):
@@ -176,12 +186,12 @@ def commit_batch(out_dir: str, batch_id: int, frontier: DataFrame | None,
             # (~66 MB files, the size a 1000-executor cluster wants too);
             # a REBALANCE would shuffle every payload byte a second time
             # (measured 2.9-7.5 s — strictly worse).
-            par = df.sparkSession.sparkContext.defaultParallelism
             (df.coalesce(par).write.mode("overwrite")
              .option("compression", "none")
              .option("parquet.enable.dictionary", "false").parquet(path))
         else:
-            df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+            (df.coalesce(par).write.mode("overwrite")
+             .option("compression", "snappy").parquet(path))
         if debug:
             # stderr: bench.py's stdout contract is one JSON line
             print(f"        [write] {Path(path).name if 'batch=' not in Path(path).name else Path(path).parent.name}: "
