@@ -185,6 +185,77 @@ def p8_page_complete(spark, sf_dir):
             .where(F.col("n_orders") >= 15))
 
 
+def _p9_frontier(spark, sf_dir, with_index_rows: bool):
+    """One micro-batch of a synthetic URL frontier derived from orders:
+    37 hosts, priority in 0..6, discovery_seq = o_orderkey (unique, so the
+    url tiebreak in the politeness sort never fires and the order is total).
+    Every 11th URL lands under /private/ (the robots-gated path)."""
+    hid = (F.col("o_custkey") % 37).cast("int")
+    kind = (F.when(F.col("o_orderkey") % 13 == 0, "index")
+            .otherwise("article") if with_index_rows
+            else F.lit("article"))
+    return t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("host_"), hid.cast("string")).alias("host"),
+        F.concat(F.lit("https://host"), hid.cast("string"),
+                 F.when(F.col("o_orderkey") % 11 == 0, "/private/")
+                 .otherwise("/bbs/"),
+                 F.col("o_orderkey").cast("string"),
+                 F.lit(".html")).alias("url"),
+        (F.col("o_orderkey") % 7).cast("int").alias("priority"),
+        F.col("o_orderkey").cast("long").alias("discovery_seq"),
+        kind.alias("kind"),
+    )
+
+
+def _p9_state(spark, sf_dir):
+    """Per-host token-bucket balance: floor(tokens) = host_id % 5 whole
+    tokens to spend this batch (0..4), fractional 0.5 carries over."""
+    hid = (F.col("o_custkey") % 37).cast("int")
+    return (t(spark, sf_dir, "orders").select(hid.alias("hid")).distinct()
+            .select(F.concat(F.lit("host_"), F.col("hid").cast("string"))
+                    .alias("host"),
+                    ((F.col("hid") % 5) + F.lit(0.5)).cast("double")
+                    .alias("tokens")))
+
+
+def p9_politeness_admit(spark, sf_dir):
+    """P9 (north rule): one micro-batch of per-host token-bucket admission
+    with a robots.txt gate, through the REAL groupBy(host).applyInPandas
+    operator the crawl engine runs (operators/politeness.py
+    admit_apply_in_pandas — reference analog: the per-fetch sleep loop,
+    crawler/article.py:480,512,554 + config_example.ini:14-15). Hosts whose
+    id %3 == 0 disallow the /private/ prefix. The oracle re-states the
+    operator's exact semantics declaratively: rank over ALL rows caps the
+    group at ceil(tokens) (the skew pre-truncation — a hot host never
+    builds an oversized pandas group), then a running count of non-blocked
+    rows inside that capped prefix spends floor(tokens) whole tokens;
+    blocked rows spend nothing; rows beyond the cap are deferred with
+    robots_blocked=false (never evaluated). One mis-admitted, mis-ordered
+    or budget-overrunning row ⇒ hash mismatch."""
+    from .operators.politeness import admit_apply_in_pandas
+    pending = _p9_frontier(spark, sf_dir, with_index_rows=False)
+    state = _p9_state(spark, sf_dir)
+    robots = {f"host_{i}": ["/private/"] for i in range(0, 37, 3)}
+    out = admit_apply_in_pandas(pending, state, robots=robots)
+    return out.select("host", "url", "admit", "robots_blocked")
+
+
+def p9b_politeness_window(spark, sf_dir):
+    """P9b: the engine's default pure-Catalyst admission path
+    (operators/politeness.py admit_window — whole-stage-codegen'd rank
+    window + broadcast state join) on a frontier that mixes index and
+    article rows, grading the DISCOVERY BARRIER: admission for a host
+    stops at its first index-kind row in (priority desc, discovery_seq)
+    order, because that row spawns higher-priority work that must be
+    fetched first — the distributed restatement of the reference's
+    sequential page-then-articles loop (crawler/article.py:419-511)."""
+    from .operators.politeness import admit_window
+    pending = _p9_frontier(spark, sf_dir, with_index_rows=True)
+    state = _p9_state(spark, sf_dir)
+    out = admit_window(pending, state)
+    return out.select("host", "url", "kind", "admit")
+
+
 # --- J: joins (SURVEY §2.3) --------------------------------------------------
 def j1_join_count(spark, sf_dir):
     """J1: COUNT of index⋈article join, crawler/article.py:462-465."""
@@ -1987,6 +2058,63 @@ ORACLE_SQL: dict[str, str] = {
     "p8_page_complete": """
         SELECT o_custkey, count(*) AS n_orders FROM orders
         GROUP BY o_custkey HAVING count(*) >= 15""",
+    # p9: declarative restatement of admit_apply_in_pandas — cap the group
+    # at ceil(tokens) by all-rows rank (skew pre-truncation), then spend
+    # floor(tokens) whole tokens on the non-blocked prefix; blocked rows
+    # spend nothing; rows beyond the cap are deferred unevaluated
+    "p9_politeness_admit": """
+        WITH pending AS (
+            SELECT 'host_' || (o_custkey % 37) AS host,
+                   'https://host' || (o_custkey % 37) ||
+                     CASE WHEN o_orderkey % 11 = 0 THEN '/private/'
+                          ELSE '/bbs/' END || o_orderkey || '.html' AS url,
+                   CAST(o_orderkey % 7 AS INT) AS priority,
+                   o_orderkey AS discovery_seq,
+                   (o_custkey % 37) AS hid,
+                   ((o_custkey % 37) % 3 = 0 AND o_orderkey % 11 = 0) AS blocked
+            FROM orders),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER w AS rank_all,
+                   sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END) OVER
+                     (PARTITION BY host ORDER BY priority DESC, discovery_seq
+                      ROWS UNBOUNDED PRECEDING) AS rank_nb
+            FROM pending
+            WINDOW w AS (PARTITION BY host
+                         ORDER BY priority DESC, discovery_seq))
+        SELECT host, url,
+               (rank_all <= hid % 5 + 1 AND NOT blocked
+                AND rank_nb <= hid % 5) AS admit,
+               (rank_all <= hid % 5 + 1 AND blocked) AS robots_blocked
+        FROM ranked""",
+    # p9b: admit_window — rank <= floor(tokens) AND rank <= first index row
+    # (the discovery barrier: an admitted index page spawns higher-priority
+    # work, so nothing ranked below it rides in the same batch)
+    "p9b_politeness_window": """
+        WITH pending AS (
+            SELECT 'host_' || (o_custkey % 37) AS host,
+                   'https://host' || (o_custkey % 37) ||
+                     CASE WHEN o_orderkey % 11 = 0 THEN '/private/'
+                          ELSE '/bbs/' END || o_orderkey || '.html' AS url,
+                   CAST(o_orderkey % 7 AS INT) AS priority,
+                   o_orderkey AS discovery_seq,
+                   (o_custkey % 37) AS hid,
+                   CASE WHEN o_orderkey % 13 = 0 THEN 'index'
+                        ELSE 'article' END AS kind
+            FROM orders),
+        ranked AS (
+            SELECT *, row_number() OVER w AS rank_all
+            FROM pending
+            WINDOW w AS (PARTITION BY host
+                         ORDER BY priority DESC, discovery_seq)),
+        fi AS (
+            SELECT host, min(rank_all) AS first_idx
+            FROM ranked WHERE kind <> 'article' GROUP BY host)
+        SELECT r.host, r.url, r.kind,
+               (r.rank_all <= r.hid % 5
+                AND r.rank_all <= coalesce(f.first_idx, 9223372036854775807))
+                 AS admit
+        FROM ranked r LEFT JOIN fi f ON r.host = f.host""",
     "j1_join_count": """
         SELECT count(*) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'""",
@@ -3027,6 +3155,8 @@ def queries():
         "text_heavy_hitters": text_heavy_hitters,
         "sample_reservoir": sample_reservoir,
         "text_bm25": text_bm25,
+        "p9_politeness_admit": p9_politeness_admit,
+        "p9b_politeness_window": p9b_politeness_window,
         # -- (c) latest green row is r01/r02 --
         "dedup_exact": dedup_exact,
         "dedup_embedding_cosine": dedup_embedding_cosine,
