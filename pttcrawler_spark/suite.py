@@ -1776,6 +1776,14 @@ def kmeans_lloyd(spark, sf_dir):
     Centroid update floor(sum/count) runs in exact integer space (see
     _km_quantize) so the DuckDB oracle — the same two iterations unrolled
     as CTEs — reproduces every assignment bit-for-bit."""
+    q, cents = _km_fit(spark, sf_dir)
+    return (_km_assign(q, cents)
+            .select("vec_id", "cluster", "dist_q"))
+
+
+def _km_fit(spark, sf_dir):
+    """Run the _KM_ITERS Lloyd iterations; return (quantized vectors df,
+    final centroids dict). Shared by kmeans_lloyd and dedup_semantic."""
     q = _km_quantize(spark, sf_dir).persist()
     try:
         init = (q.where(F.col("vec_id") < _KM_K).orderBy("vec_id")
@@ -1792,10 +1800,104 @@ def kmeans_lloyd(spark, sf_dir):
                 upd.setdefault(int(r.cluster), [0] * _KM_DIM)[int(r.pos)] = \
                     math.floor(r.s / r.n)
             cents = {ci: upd.get(ci, cv) for ci, cv in cents.items()}
-        return (_km_assign(q, cents)
-                .select("vec_id", "cluster", "dist_q"))
+        return q, cents
     finally:
         q.unpersist()
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    k-means partition of the embedding space, then cosine near-dup checks
+    ONLY within a cluster — the published answer to embedding dedup at
+    corpus scale, where the all-pairs O(n²) join (dedup_embedding_cosine)
+    and even LSH banding (dedup_embedding_lsh) leave too many candidates.
+    k grows with n so cluster size stays bounded: the within-cluster
+    self-join is O(n²/k) total and every pair is confined to one shuffle
+    partition (cluster id is the join key).
+
+    Verdict rule (deterministic keeper): doc j is a semantic dup iff some
+    i < j in the SAME cluster has cos(i,j) ≥ 0.5. Cosine runs on the
+    ×10⁶-quantized integer vectors (cosine is scale-invariant): every
+    product (≤10¹²) and 64-term sum (≤6.4×10¹³) is an exactly-representable
+    integer in a double, so the dot/norm sums are order-invariant and the
+    DuckDB oracle — the kmeans_lloyd CTE chain extended with the pair
+    verdict — reproduces every is_dup bit."""
+    q, cents = _km_fit(spark, sf_dir)
+    assigned = (_km_assign(q, cents)
+                .select("vec_id", "cluster",
+                        F.transform("q", lambda x: x.cast("double"))
+                        .alias("v")))
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sided = assigned.withColumn("nv", norm)
+    a, b = sided.alias("a"), sided.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    dups = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .where(dot / (F.col("a.nv") * F.col("b.nv")) >= 0.5)
+            .select(F.col("b.vec_id").alias("vec_id")).distinct())
+    return (assigned.join(dups.withColumn("_d", F.lit(True)), "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup")))
+
+
+_PR_N = 500          # link-graph node universe
+_PR_SCALE = 10**12   # rank mass in integer micro-units
+_PR_ITERS = 3
+
+
+def graph_pagerank(spark, sf_dir):
+    """Crawl-priority PageRank (Page et al. 1999) — the canonical frontier
+    prioritisation signal a production crawler feeds into the (priority
+    desc, discovery_ts asc) ordering the north rule requires. Deterministic
+    link graph from lineitem: edge (l_orderkey % 500 → l_partkey % 500),
+    self-loops dropped, multi-edges deduped. 3 power iterations; per
+    iteration the 500-row rank table BROADCASTS into the edge list (the
+    iteration-invariant big side never re-shuffles) and one partial-agg
+    shuffle on dst sums the inflow — the same loop shape as kmeans_lloyd,
+    state = O(nodes), data moves once per iteration. At 10^10 edges the
+    rank side is still tiny relative to edges (rank rows = hosts, edge rows
+    = links), so broadcast-into-edges remains the right plan; GraphX/Pregel
+    adds nothing for plain power iteration. All arithmetic is integer
+    (contribution = pr div outdeg; pr' = teleport + (85·inflow) div 100
+    with teleport = (15·(SCALE div N)) div 100), so shuffle order cannot
+    drift a bit and the DuckDB oracle (3 unrolled CTE iterations)
+    reproduces every rank exactly."""
+    li = t(spark, sf_dir, "lineitem")
+    edges = (li.select(
+                 (F.col("l_orderkey") % _PR_N).cast("long").alias("src"),
+                 (F.col("l_partkey") % _PR_N).cast("long").alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct().persist())
+    try:
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .union(edges.select(F.col("dst").alias("node")))
+                 .distinct())
+        n = nodes.count()  # bounded control-plane aggregate: ≤ _PR_N rows
+        base = _PR_SCALE // n
+        teleport = (15 * base) // 100
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        ranks = nodes.withColumn("pr", F.lit(base).cast("long"))
+        for _ in range(_PR_ITERS):
+            contrib = (edges
+                       .join(F.broadcast(ranks.withColumnRenamed("node",
+                                                                 "src")),
+                             "src")
+                       .join(F.broadcast(outdeg), "src")
+                       .select("dst", F.expr("pr div deg").alias("c")))
+            inflow = (contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+                      .withColumnRenamed("dst", "node"))
+            ranks = (nodes.join(inflow, "node", "left")
+                     .select("node",
+                             (F.lit(teleport)
+                              + F.expr("(85 * coalesce(s, 0L)) div 100"))
+                             .cast("long").alias("pr")))
+        return ranks
+    finally:
+        edges.unpersist()
 
 
 # F6/F7 raw-page parse suite entries: a fixed 192-slot synthetic site
@@ -3004,6 +3106,110 @@ ORACLE_SQL: dict[str, str] = {
         FROM d3
         QUALIFY row_number() OVER (PARTITION BY vec_id
                                    ORDER BY dist, cid) = 1""",
+    # dedup_semantic: the kmeans_lloyd chain (identical CTEs) extended with
+    # the SemDeDup within-cluster pair verdict — quantized-integer dot/norm
+    # sums are exact in doubles, so is_dup reproduces bit-for-bit
+    "dedup_semantic": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                 AS q
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, q FROM q WHERE vec_id < 4),
+        d1 AS (SELECT v.vec_id, c.cid,
+                      sum((v.q[i.i] - c.q[i.i]) * (v.q[i.i] - c.q[i.i])) AS dist
+               FROM q v CROSS JOIN c0 c CROSS JOIN range(1, 65) i(i)
+               GROUP BY v.vec_id, c.cid),
+        a1 AS (SELECT vec_id, cid AS cluster FROM d1
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) = 1),
+        s1 AS (SELECT a1.cluster, i.i AS pos,
+                      CAST(floor(CAST(sum(v.q[i.i]) AS DOUBLE) / count(*))
+                           AS BIGINT) AS ce
+               FROM a1 JOIN q v USING (vec_id) CROSS JOIN range(1, 65) i(i)
+               GROUP BY a1.cluster, i.i),
+        u1 AS (SELECT cluster, list(ce ORDER BY pos) AS q FROM s1
+               GROUP BY cluster),
+        c1 AS (SELECT c0.cid, coalesce(u1.q, c0.q) AS q
+               FROM c0 LEFT JOIN u1 ON u1.cluster = c0.cid),
+        d2 AS (SELECT v.vec_id, c.cid,
+                      sum((v.q[i.i] - c.q[i.i]) * (v.q[i.i] - c.q[i.i])) AS dist
+               FROM q v CROSS JOIN c1 c CROSS JOIN range(1, 65) i(i)
+               GROUP BY v.vec_id, c.cid),
+        a2 AS (SELECT vec_id, cid AS cluster FROM d2
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) = 1),
+        s2 AS (SELECT a2.cluster, i.i AS pos,
+                      CAST(floor(CAST(sum(v.q[i.i]) AS DOUBLE) / count(*))
+                           AS BIGINT) AS ce
+               FROM a2 JOIN q v USING (vec_id) CROSS JOIN range(1, 65) i(i)
+               GROUP BY a2.cluster, i.i),
+        u2 AS (SELECT cluster, list(ce ORDER BY pos) AS q FROM s2
+               GROUP BY cluster),
+        c2 AS (SELECT c1.cid, coalesce(u2.q, c1.q) AS q
+               FROM c1 LEFT JOIN u2 ON u2.cluster = c1.cid),
+        d3 AS (SELECT v.vec_id, c.cid,
+                      sum((v.q[i.i] - c.q[i.i]) * (v.q[i.i] - c.q[i.i])) AS dist
+               FROM q v CROSS JOIN c2 c CROSS JOIN range(1, 65) i(i)
+               GROUP BY v.vec_id, c.cid),
+        a3 AS (SELECT vec_id, cid AS cluster FROM d3
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) = 1),
+        nrm AS (SELECT vec_id,
+                       sqrt(sum(CAST(q[i.i] AS DOUBLE) * q[i.i])) AS nv
+                FROM q CROSS JOIN range(1, 65) i(i) GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                        sum(CAST(qa.q[i.i] AS DOUBLE) * qb.q[i.i]) AS dot
+                 FROM a3 a JOIN a3 b
+                        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                 JOIN q qa ON qa.vec_id = a.vec_id
+                 JOIN q qb ON qb.vec_id = b.vec_id
+                 CROSS JOIN range(1, 65) i(i)
+                 GROUP BY a.vec_id, b.vec_id),
+        dups AS (SELECT DISTINCT d.ib AS vec_id
+                 FROM dots d
+                 JOIN nrm na ON na.vec_id = d.ia
+                 JOIN nrm nb ON nb.vec_id = d.ib
+                 WHERE d.dot / (na.nv * nb.nv) >= 0.5)
+        SELECT a.vec_id, a.cluster,
+               (dp.vec_id IS NOT NULL) AS is_dup
+        FROM a3 a LEFT JOIN dups dp ON dp.vec_id = a.vec_id""",
+    # graph_pagerank: 3 unrolled power iterations, all-integer arithmetic
+    # (pr // deg contributions, (85*inflow) // 100 damping) — bit-exact
+    "graph_pagerank": """
+        WITH edges AS (
+            SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst
+            FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        c AS (SELECT 1000000000000 // count(*) AS base,
+                     (15 * (1000000000000 // count(*))) // 100 AS tp
+              FROM nodes),
+        r0 AS (SELECT node, (SELECT base FROM c) AS pr FROM nodes),
+        i1 AS (SELECT e.dst, sum(r.pr // d.deg) AS s
+               FROM edges e JOIN r0 r ON r.node = e.src
+                            JOIN deg d ON d.src = e.src
+               GROUP BY e.dst),
+        r1 AS (SELECT node, (SELECT tp FROM c)
+                            + (85 * coalesce(i1.s, 0)) // 100 AS pr
+               FROM nodes LEFT JOIN i1 ON i1.dst = node),
+        i2 AS (SELECT e.dst, sum(r.pr // d.deg) AS s
+               FROM edges e JOIN r1 r ON r.node = e.src
+                            JOIN deg d ON d.src = e.src
+               GROUP BY e.dst),
+        r2 AS (SELECT node, (SELECT tp FROM c)
+                            + (85 * coalesce(i2.s, 0)) // 100 AS pr
+               FROM nodes LEFT JOIN i2 ON i2.dst = node),
+        i3 AS (SELECT e.dst, sum(r.pr // d.deg) AS s
+               FROM edges e JOIN r2 r ON r.node = e.src
+                            JOIN deg d ON d.src = e.src
+               GROUP BY e.dst),
+        r3 AS (SELECT node, (SELECT tp FROM c)
+                            + (85 * coalesce(i3.s, 0)) // 100 AS pr
+               FROM nodes LEFT JOIN i3 ON i3.dst = node)
+        SELECT node, CAST(pr AS BIGINT) AS pr FROM r3""",
     # DuckDB's native ASOF JOIN is the oracle for the union+window rewrite
     "j8_asof_join": """
         WITH v AS (SELECT user_id, ts, event_id FROM events
@@ -3146,6 +3352,7 @@ def queries():
         "dedup_embedding_lsh": dedup_embedding_lsh,  # r3 norm-hoist rewrite
         "dedup_ngram_jaccard": dedup_ngram_jaccard,  # r3 _shingles rewrite
         "dedup_cluster_cc": dedup_cluster_cc,    # consumes rewritten pair set
+        "kmeans_lloyd": kmeans_lloyd,            # r4 _km_fit refactor
         # -- (b) new in round 4 --
         "dedup_pipeline_e2e": dedup_pipeline_e2e,
         "stream_urlseen_twin": stream_urlseen_twin,
@@ -3157,6 +3364,8 @@ def queries():
         "text_bm25": text_bm25,
         "p9_politeness_admit": p9_politeness_admit,
         "p9b_politeness_window": p9b_politeness_window,
+        "dedup_semantic": dedup_semantic,
+        "graph_pagerank": graph_pagerank,
         # -- (c) latest green row is r01/r02 --
         "dedup_exact": dedup_exact,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -3235,7 +3444,6 @@ def queries():
         "img_aspect_bucket": img_aspect_bucket,
         "av_frame_sample": av_frame_sample,
         "av_audio_features": av_audio_features,
-        "kmeans_lloyd": kmeans_lloyd,
         "stream_sessionize": stream_sessionize,
         "events_json_extract": events_json_extract,
     }

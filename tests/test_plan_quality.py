@@ -280,3 +280,33 @@ def test_dedup_pipeline_e2e_no_cartesian(spark):
     plan = _plan(spark, "dedup_pipeline_e2e")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_politeness_admit_no_payload_blowup(spark):
+    """Both graded admission paths: the state/rank joins must stay
+    broadcast (the per-host state table is tiny by construction) and the
+    frontier must never cross-join."""
+    for name in ("p9_politeness_admit", "p9b_politeness_window"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_semantic_dedup_pairs_confined_to_cluster(spark):
+    """SemDeDup's within-cluster pair join must be an equi-join on the
+    cluster id (SortMerge or Hash), never an all-pairs product — that
+    confinement IS the algorithm's scale claim."""
+    plan = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_rank_side_broadcast(spark):
+    """graph_pagerank: every iteration joins the O(nodes) rank table into
+    the O(edges) edge list — the rank side must broadcast so the edge
+    table is never re-shuffled across iterations."""
+    plan = _plan(spark, "graph_pagerank")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
