@@ -3348,8 +3348,15 @@ def queries():
     implementation change. Round-4 window: (a) the four keys rewritten in
     round 3 after their last grade (plus dedup_cluster_cc, whose input pair
     set is dedup_minhash_lsh's) and text_simhash's round-4 empty-doc fix;
-    (b) the three new round-4 keys; (c) keys whose only green rows are
-    r01/r02 (oldest attestation); (d) keys attested green in r03 fill the
+    (b) the new round-4 keys; (b2) the img_*/av_* keys + img_verify_psnr,
+    whose shared primitives changed in round 4 AFTER their r03 rows
+    (f3630b7 rewrote synth/images.py make_pixels/phash64 — bit-identical,
+    property-tested in tests/test_image_ops.py, but the standing rule wants
+    a driver row postdating the change; ee9a9b8/60a65cf changed the verify
+    engine behind img_verify_psnr); (c) keys whose only green rows are
+    r01/r02 (oldest attestation) — the tail of this group may fall outside
+    the ~50 window, which is fine: they are unchanged since their green
+    row; (d) keys attested green in r03 and unchanged since fill the
     tail."""
     q = {
         # -- (a) implementation changed after last driver grade --
@@ -3372,6 +3379,18 @@ def queries():
         "p9b_politeness_window": p9b_politeness_window,
         "dedup_semantic": dedup_semantic,
         "graph_pagerank": graph_pagerank,
+        # -- (b2) shared primitives changed in r4 after the r03 rows --
+        "img_decode_stats": img_decode_stats,
+        "img_resize_thumb": img_resize_thumb,
+        "img_phash_dedup": img_phash_dedup,
+        "img_phash_near_dup": img_phash_near_dup,
+        "img_phash_cluster": img_phash_cluster,
+        "img_crop_dup": img_crop_dup,
+        "img_dedup_bytes": img_dedup_bytes,
+        "img_aspect_bucket": img_aspect_bucket,
+        "av_frame_sample": av_frame_sample,
+        "av_audio_features": av_audio_features,
+        "img_verify_psnr": img_verify_psnr,
         # -- (c) latest green row is r01/r02 --
         "dedup_exact": dedup_exact,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -3404,7 +3423,6 @@ def queries():
         "f12_url_assembly": f12_url_assembly,
         # -- (d) green in CORRECTNESS_r03 (most recent attestation) --
         "flagship_tw_report": flagship_tw_report,
-        "img_verify_psnr": img_verify_psnr,
         "p1_point_lookup": p1_point_lookup,
         "p2_conj_filter": p2_conj_filter,
         "p3_filter_board": p3_filter_board,
@@ -3440,16 +3458,6 @@ def queries():
         "text_winnow_fingerprint": text_winnow_fingerprint,
         "text_substr_dedup": text_substr_dedup,
         "sample_stratified": sample_stratified,
-        "img_decode_stats": img_decode_stats,
-        "img_resize_thumb": img_resize_thumb,
-        "img_phash_dedup": img_phash_dedup,
-        "img_phash_near_dup": img_phash_near_dup,
-        "img_phash_cluster": img_phash_cluster,
-        "img_crop_dup": img_crop_dup,
-        "img_dedup_bytes": img_dedup_bytes,
-        "img_aspect_bucket": img_aspect_bucket,
-        "av_frame_sample": av_frame_sample,
-        "av_audio_features": av_audio_features,
         "stream_sessionize": stream_sessionize,
         "events_json_extract": events_json_extract,
     }
