@@ -1363,6 +1363,107 @@ def text_bm25(spark, sf_dir):
                  F.count("*").cast("bigint").alias("n_terms")))
 
 
+_BPE_ITERS = 5
+
+
+def bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016), 5 merges —
+    the canonical tokenizer-training job over a pre-training corpus. The
+    100-TB trick is the classic one: the corpus is read ONCE to build the
+    word-frequency table (Zipf: ~10M distinct words even at web scale), and
+    the merge loop runs entirely on that persisted vocab table — per
+    iteration one pair-count partial-agg shuffle over exploded symbol pairs
+    plus a 1-row driver collect (the kmeans_lloyd control-plane pattern:
+    loop state is the merge table, never data). Merges apply to the vocab
+    as a whole-stage-codegen replace() chain; tokenizing the corpus with
+    the learned merges is then a broadcast-join of this table.
+
+    Exactness device: a word is encoded ' c1  c2  ...  cn ' (single-space
+    flanks, DOUBLE-space separators), so the symbol pair (x, y) is the
+    literal string ' x  y ' and replace(enc, ' x  y ', ' xy ') IS
+    greedy-leftmost non-overlapping BPE pair merging — boundary-safe
+    (every symbol is space-flanked, so a pair cannot match across symbol
+    boundaries: ' ab  b ' has no ' b  b ') and overlap-correct
+    (' a  a  a  a ' → ' aa  aa ', ' a  a  a ' → ' aa  a ') on BOTH
+    engines, which share left-to-right non-overlapping literal-replace
+    semantics (verified). Tie-break: max pair count, then
+    lexicographically smallest pattern — fully deterministic, so the
+    DuckDB oracle (the same 5 iterations unrolled as CTEs) reproduces the
+    merge table and every word's final segmentation bit-for-bit."""
+    words = (t(spark, sf_dir, "documents")
+             .select(F.explode(_words(F.col("text"))).alias("w"))
+             .where(F.length("w") >= 1))
+    vocab = words.groupBy("w").agg(F.count("*").alias("c")).persist()
+    try:
+        enc = F.concat(F.lit(" "),
+                       F.array_join(F.split(F.col("w"), ""), "  "),
+                       F.lit(" "))
+        for _ in range(_BPE_ITERS):
+            syms = F.split(F.trim(enc), "  ")
+            m = F.greatest(F.size(syms) - 1, F.lit(0))
+            pairs = F.zip_with(
+                F.slice(syms, 1, m), F.slice(syms, 2, m),
+                lambda x, y: F.concat(F.lit(" "), x, F.lit("  "), y,
+                                      F.lit(" ")))
+            top = (vocab.select("c", F.explode(pairs).alias("pat"))
+                   .groupBy("pat").agg(F.sum("c").alias("cnt"))
+                   .orderBy(F.col("cnt").desc(), F.col("pat").asc())
+                   .limit(1).collect())  # bounded: 1 row per iteration
+            pat = top[0]["pat"]
+            rep = " " + pat.strip().replace("  ", "") + " "
+            enc = F.replace(enc, F.lit(pat), F.lit(rep))
+        return vocab.select(
+            F.col("w").alias("word"),
+            F.col("c").cast("bigint").alias("freq"),
+            F.size(F.split(F.trim(enc), "  ")).cast("int").alias("n_tokens"),
+            enc.alias("seg"))
+    finally:
+        vocab.unpersist()
+
+
+_DSIR_B = 1024
+
+
+def text_dsir_weights(spark, sf_dir):
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169): log p_target(x) − log p_raw(x) under hashed-ngram
+    bag-of-features models — the published recipe for selecting
+    pre-training data that matches a target distribution. Features =
+    unigrams + bigrams hashed to B=1024 buckets (md5-prefix, identical in
+    both engines); target model = the doc_id % 5 == 0 slice (the
+    deterministic stand-in for a curated quality target), raw model = the
+    full corpus; add-1 smoothing over the B buckets. Scale shape: both
+    models are O(B) rows → broadcast dims built by partial-agg shuffles of
+    at most B×partitions rows; the corpus side computes features map-side
+    and shuffles once on doc_id for the final partial-agg sum — no
+    corpus-sized join side ever shuffles, and the text column never
+    reaches an Exchange."""
+    ws = (t(spark, sf_dir, "documents")
+          .select("doc_id", _words(F.col("text")).alias("ws")))
+    m = F.greatest(F.size("ws") - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice("ws", 1, m), F.slice("ws", 2, m),
+                         lambda x, y: F.concat(x, F.lit(" "), y))
+    feats = (ws.select("doc_id",
+                       F.explode(F.concat(F.col("ws"), bigrams)).alias("f"))
+             .select("doc_id",
+                     (F.conv(F.substring(F.md5("f"), 1, 7), 16, 10)
+                      .cast("long") % _DSIR_B).alias("b")))
+    tgt = (feats.where(F.col("doc_id") % 5 == 0)
+           .groupBy("b").agg(F.count("*").alias("ct")))
+    rawm = feats.groupBy("b").agg(F.count("*").alias("cr"))
+    tott = tgt.agg(F.sum("ct").cast("double").alias("tt"))
+    totr = rawm.agg(F.sum("cr").cast("double").alias("tr"))
+    llr = (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                 / (F.col("tt") + _DSIR_B))
+           - F.log((F.col("cr") + 1.0) / (F.col("tr") + _DSIR_B)))
+    return (feats.join(F.broadcast(tgt), "b", "left")
+            .join(F.broadcast(rawm), "b")
+            .crossJoin(F.broadcast(tott)).crossJoin(F.broadcast(totr))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_feats"),
+                 F.round(F.sum(llr), 4).alias("dsir_logw")))
+
+
 # --- remaining SURVEY §2 operators -------------------------------------------
 def j4_enrich_semi(spark, sf_dir):
     """J4: push ⋈ ip_asn + semi-filter on history ids, query.py:107-109 —
@@ -2596,6 +2697,89 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_terms
         FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id), stats
         GROUP BY tf.doc_id""",
+    # 5 BPE merge iterations unrolled; the ' x  y ' space-flank encoding
+    # makes literal replace() exactly greedy-leftmost BPE (see
+    # bpe_train_merges docstring). Tie-break: cnt DESC, pat ASC.
+    "bpe_train_merges": """
+        WITH vocab AS (
+          SELECT w, count(*) AS c FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+          WHERE length(w) >= 1 GROUP BY w),
+        enc0 AS (
+          SELECT w, c,
+                 ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS e
+          FROM vocab),
+        p0 AS (
+          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
+                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
+          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc0),
+               LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        t0 AS (SELECT pat, rep FROM p0 ORDER BY cnt DESC, pat ASC LIMIT 1),
+        enc1 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc0, t0),
+        p1 AS (
+          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
+                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
+          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc1),
+               LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        t1 AS (SELECT pat, rep FROM p1 ORDER BY cnt DESC, pat ASC LIMIT 1),
+        enc2 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc1, t1),
+        p2 AS (
+          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
+                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
+          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc2),
+               LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        t2 AS (SELECT pat, rep FROM p2 ORDER BY cnt DESC, pat ASC LIMIT 1),
+        enc3 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc2, t2),
+        p3 AS (
+          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
+                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
+          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc3),
+               LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        t3 AS (SELECT pat, rep FROM p3 ORDER BY cnt DESC, pat ASC LIMIT 1),
+        enc4 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc3, t3),
+        p4 AS (
+          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
+                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
+          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc4),
+               LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        t4 AS (SELECT pat, rep FROM p4 ORDER BY cnt DESC, pat ASC LIMIT 1),
+        enc5 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc4, t4)
+        SELECT w AS word, CAST(c AS BIGINT) AS freq,
+               CAST(len(string_split(trim(e), '  ')) AS INT) AS n_tokens,
+               e AS seg
+        FROM enc5""",
+    "text_dsir_weights": """
+        WITH ws AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents),
+        feats AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(f), 1, 7)) AS BIGINT)
+                   % 1024 AS b
+          FROM (
+            SELECT doc_id, unnest(w) AS f FROM ws
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i+1])) AS f
+            FROM ws)),
+        tgt AS (SELECT b, count(*) AS ct FROM feats
+                WHERE doc_id % 5 = 0 GROUP BY b),
+        rawm AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+        tott AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt FROM tgt),
+        totr AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr FROM rawm)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               round(sum(ln((coalesce(ct, 0) + 1.0) / (tt + 1024))
+                         - ln((cr + 1.0) / (tr + 1024))), 4) AS dsir_logw
+        FROM feats LEFT JOIN tgt USING (b) JOIN rawm USING (b), tott, totr
+        GROUP BY doc_id""",
     "dedup_minhash_lsh": """
         WITH d AS (
           SELECT doc_id,
@@ -3379,6 +3563,8 @@ def queries():
         "p9b_politeness_window": p9b_politeness_window,
         "dedup_semantic": dedup_semantic,
         "graph_pagerank": graph_pagerank,
+        "bpe_train_merges": bpe_train_merges,
+        "text_dsir_weights": text_dsir_weights,
         # -- (b2) shared primitives changed in r4 after the r03 rows --
         "img_decode_stats": img_decode_stats,
         "img_resize_thumb": img_resize_thumb,

@@ -310,3 +310,27 @@ def test_pagerank_rank_side_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_merges_single_vocab_exchange(spark):
+    """bpe_train_merges: the returned segmentation plan is the vocab
+    aggregate (one Exchange on the word key) plus a pure whole-stage-
+    codegen replace() chain — no join, no second shuffle. The per-
+    iteration pair counts are separate bounded jobs; the OUTPUT plan must
+    not re-shuffle or join anything."""
+    plan = _plan(spark, "bpe_train_merges")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_models_broadcast(spark):
+    """text_dsir_weights: the O(B)-bucket target/raw models must broadcast
+    into the corpus-sized feature stream (two BroadcastHashJoins); the
+    only fact-side Exchanges are partial-agg shuffles — never a sort-merge
+    join of the corpus against itself."""
+    plan = _plan(spark, "text_dsir_weights")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
