@@ -1390,6 +1390,18 @@ def bpe_train_merges(spark, sf_dir):
     lexicographically smallest pattern — fully deterministic, so the
     DuckDB oracle (the same 5 iterations unrolled as CTEs) reproduces the
     merge table and every word's final segmentation bit-for-bit."""
+    vocab, enc = _bpe_learn(spark, sf_dir)
+    return vocab.select(
+        F.col("w").alias("word"),
+        F.col("c").cast("bigint").alias("freq"),
+        F.size(F.split(F.trim(enc), "  ")).cast("int").alias("n_tokens"),
+        enc.alias("seg"))
+
+
+def _bpe_learn(spark, sf_dir):
+    """Run the _BPE_ITERS merge iterations; return (vocab df with (w, c),
+    final-encoding Column over it). Shared by bpe_train_merges and
+    bpe_apply_tokenize (the _km_fit pattern)."""
     words = (t(spark, sf_dir, "documents")
              .select(F.explode(_words(F.col("text"))).alias("w"))
              .where(F.length("w") >= 1))
@@ -1412,13 +1424,30 @@ def bpe_train_merges(spark, sf_dir):
             pat = top[0]["pat"]
             rep = " " + pat.strip().replace("  ", "") + " "
             enc = F.replace(enc, F.lit(pat), F.lit(rep))
-        return vocab.select(
-            F.col("w").alias("word"),
-            F.col("c").cast("bigint").alias("freq"),
-            F.size(F.split(F.trim(enc), "  ")).cast("int").alias("n_tokens"),
-            enc.alias("seg"))
+        return vocab, enc
     finally:
         vocab.unpersist()
+
+
+def bpe_apply_tokenize(spark, sf_dir):
+    """The APPLY half of tokenizer training: tokenize the corpus with the
+    merges bpe_train_merges learned. The learned segmentation is a
+    vocab-sized table, so tokenizing TBs of text is one BROADCAST hash
+    join of the corpus word stream against it (plan-asserted) — the
+    per-doc token budget under the learned tokenizer, computed without the
+    text column ever reaching an Exchange. Grades the train→apply
+    composition: a segmentation that drifted from the oracle's merge
+    table would surface here as a per-doc token-count mismatch."""
+    vocab, enc = _bpe_learn(spark, sf_dir)
+    seg = vocab.select(
+        "w", F.size(F.split(F.trim(enc), "  ")).cast("long").alias("nt"))
+    toks = (t(spark, sf_dir, "documents")
+            .select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+            .where(F.length("w") >= 1))
+    return (toks.join(F.broadcast(seg), "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_words"),
+                 F.sum("nt").cast("bigint").alias("n_bpe_tokens")))
 
 
 _DSIR_B = 1024
@@ -2232,6 +2261,60 @@ def stream_latency_twin(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Shared 5-iteration BPE merge chain (greedy-leftmost via space-flank
+# replace; see bpe_train_merges docstring) — suffixed by the train and
+# apply oracles below.
+_BPE_CTE_CHAIN = """
+        WITH vocab AS (
+          SELECT w, count(*) AS c FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+          WHERE length(w) >= 1 GROUP BY w),
+        enc0 AS (
+          SELECT w, c,
+                 ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS e
+          FROM vocab),
+        p0 AS (
+          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
+                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
+          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc0),
+               LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        t0 AS (SELECT pat, rep FROM p0 ORDER BY cnt DESC, pat ASC LIMIT 1),
+        enc1 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc0, t0),
+        p1 AS (
+          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
+                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
+          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc1),
+               LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        t1 AS (SELECT pat, rep FROM p1 ORDER BY cnt DESC, pat ASC LIMIT 1),
+        enc2 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc1, t1),
+        p2 AS (
+          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
+                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
+          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc2),
+               LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        t2 AS (SELECT pat, rep FROM p2 ORDER BY cnt DESC, pat ASC LIMIT 1),
+        enc3 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc2, t2),
+        p3 AS (
+          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
+                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
+          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc3),
+               LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        t3 AS (SELECT pat, rep FROM p3 ORDER BY cnt DESC, pat ASC LIMIT 1),
+        enc4 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc3, t3),
+        p4 AS (
+          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
+                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
+          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc4),
+               LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        t4 AS (SELECT pat, rep FROM p4 ORDER BY cnt DESC, pat ASC LIMIT 1),
+        enc5 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc4, t4)"""
+
 ORACLE_SQL: dict[str, str] = {
     "flagship_tw_report": FLAGSHIP_SQL,
     "p1_point_lookup": """
@@ -2700,60 +2783,22 @@ ORACLE_SQL: dict[str, str] = {
     # 5 BPE merge iterations unrolled; the ' x  y ' space-flank encoding
     # makes literal replace() exactly greedy-leftmost BPE (see
     # bpe_train_merges docstring). Tie-break: cnt DESC, pat ASC.
-    "bpe_train_merges": """
-        WITH vocab AS (
-          SELECT w, count(*) AS c FROM (
-            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-            FROM documents)
-          WHERE length(w) >= 1 GROUP BY w),
-        enc0 AS (
-          SELECT w, c,
-                 ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS e
-          FROM vocab),
-        p0 AS (
-          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
-                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
-          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc0),
-               LATERAL (SELECT unnest(range(1, len(s))) AS j)
-          GROUP BY 1, 2),
-        t0 AS (SELECT pat, rep FROM p0 ORDER BY cnt DESC, pat ASC LIMIT 1),
-        enc1 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc0, t0),
-        p1 AS (
-          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
-                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
-          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc1),
-               LATERAL (SELECT unnest(range(1, len(s))) AS j)
-          GROUP BY 1, 2),
-        t1 AS (SELECT pat, rep FROM p1 ORDER BY cnt DESC, pat ASC LIMIT 1),
-        enc2 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc1, t1),
-        p2 AS (
-          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
-                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
-          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc2),
-               LATERAL (SELECT unnest(range(1, len(s))) AS j)
-          GROUP BY 1, 2),
-        t2 AS (SELECT pat, rep FROM p2 ORDER BY cnt DESC, pat ASC LIMIT 1),
-        enc3 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc2, t2),
-        p3 AS (
-          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
-                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
-          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc3),
-               LATERAL (SELECT unnest(range(1, len(s))) AS j)
-          GROUP BY 1, 2),
-        t3 AS (SELECT pat, rep FROM p3 ORDER BY cnt DESC, pat ASC LIMIT 1),
-        enc4 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc3, t3),
-        p4 AS (
-          SELECT ' ' || s[j] || '  ' || s[j+1] || ' ' AS pat,
-                 ' ' || s[j] || s[j+1] || ' ' AS rep, sum(c) AS cnt
-          FROM (SELECT c, string_split(trim(e), '  ') AS s FROM enc4),
-               LATERAL (SELECT unnest(range(1, len(s))) AS j)
-          GROUP BY 1, 2),
-        t4 AS (SELECT pat, rep FROM p4 ORDER BY cnt DESC, pat ASC LIMIT 1),
-        enc5 AS (SELECT w, c, replace(e, pat, rep) AS e FROM enc4, t4)
+    "bpe_train_merges": _BPE_CTE_CHAIN + """
         SELECT w AS word, CAST(c AS BIGINT) AS freq,
                CAST(len(string_split(trim(e), '  ')) AS INT) AS n_tokens,
                e AS seg
         FROM enc5""",
+    # train→apply composition: per-doc token budget under the learned
+    # merges; inner join vs seg drops empty words on both engines.
+    "bpe_apply_tokenize": _BPE_CTE_CHAIN + """,
+        seg AS (SELECT w, len(string_split(trim(e), '  ')) AS nt FROM enc5),
+        toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+        FROM toks JOIN seg USING (w)
+        GROUP BY doc_id""",
     "text_dsir_weights": """
         WITH ws AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
@@ -3564,6 +3609,7 @@ def queries():
         "dedup_semantic": dedup_semantic,
         "graph_pagerank": graph_pagerank,
         "bpe_train_merges": bpe_train_merges,
+        "bpe_apply_tokenize": bpe_apply_tokenize,
         "text_dsir_weights": text_dsir_weights,
         # -- (b2) shared primitives changed in r4 after the r03 rows --
         "img_decode_stats": img_decode_stats,

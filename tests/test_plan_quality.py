@@ -325,6 +325,17 @@ def test_bpe_merges_single_vocab_exchange(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_bpe_apply_segmentation_broadcast(spark):
+    """bpe_apply_tokenize: the learned segmentation is vocab-sized, so
+    tokenizing the corpus must be ONE BroadcastHashJoin of the word
+    stream against it plus the final doc_id partial agg — never a
+    sort-merge join of the corpus against the vocab."""
+    plan = _plan(spark, "bpe_apply_tokenize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dsir_models_broadcast(spark):
     """text_dsir_weights: the O(B)-bucket target/raw models must broadcast
     into the corpus-sized feature stream (two BroadcastHashJoins); the
