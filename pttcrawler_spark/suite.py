@@ -1493,6 +1493,66 @@ def text_dsir_weights(spark, sf_dir):
                  F.round(F.sum(llr), 4).alias("dsir_logw")))
 
 
+def quality_pipeline_e2e(spark, sf_dir):
+    """The CCNet-style quality-filter PIPELINE as one graded query
+    (Wenzek et al. 2020 composition: language-ID → LM perplexity bucket →
+    format rules → keep verdict) — the dedup_pipeline_e2e pattern applied
+    to the quality family: each stage has its own graded oracle
+    (text_langid / text_ngram_lm_score / text_gopher_rules); this grades
+    their COMPOSITION, where a doc dropped by one stage must still carry
+    the other stages' verdicts. Buckets are CCNet's head/middle/tail via
+    global lm_score tertiles; the thresholds arrive as a broadcast 1-row
+    dim (exact interpolated percentile here for oracle parity — at 10^10
+    docs swap in approx_percentile, the graded a8b scale path). keep =
+    gopher_passes ∧ bucket ≠ tail. The three per-doc branches equi-join on
+    doc_id (narrow rows: id + verdicts; text never joins)."""
+    lang = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    gopher = (text_gopher_rules(spark, sf_dir)
+              .select("doc_id", F.col("passes").alias("gopher_passes")))
+    lm = text_ngram_lm_score(spark, sf_dir).select("doc_id", "lm_score")
+    th = lm.agg(F.percentile("lm_score", 1.0 / 3).alias("p33"),
+                F.percentile("lm_score", 2.0 / 3).alias("p66"))
+    bucket = (F.when(F.col("lm_score") <= F.col("p33"), F.lit("head"))
+              .when(F.col("lm_score") <= F.col("p66"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (lm.crossJoin(F.broadcast(th))
+            .join(lang, "doc_id").join(gopher, "doc_id")
+            .select("doc_id", "pred_lang", "lm_score",
+                    bucket.alias("ppl_bucket"), "gopher_passes",
+                    (F.col("gopher_passes")
+                     & (F.col("lm_score") <= F.col("p66"))).alias("keep")))
+
+
+def mix_allocation(spark, sf_dir):
+    """Training-mix allocation (The Pile / DoReMi-style weight
+    application): per language stratum, available tokens vs its target
+    share of the global token budget, and the oversampling factor
+    (epochs) the trainer must apply — the step that turns curated corpora
+    into a training mixture. Weights: en 50%, zh 30%, other 20%; budget =
+    the corpus's own total (a self-referential reshape, so the instance
+    is parameter-free). One groupBy(lang) partial-agg shuffle + a 1-row
+    broadcast total; all arithmetic is floor() over products < 2^53, so
+    both engines agree bit-for-bit."""
+    avail = (t(spark, sf_dir, "documents")
+             .select("lang",
+                     F.size(_words(F.col("text"))).cast("long").alias("nt"))
+             .groupBy("lang").agg(F.sum("nt").alias("avail_tokens")))
+    tot = avail.agg(F.sum("avail_tokens").alias("budget"))
+    w = (F.when(F.col("lang") == "en", F.lit(50))
+         .when(F.col("lang") == "zh", F.lit(30))
+         .otherwise(F.lit(20))).cast("long")
+    base = (avail.crossJoin(F.broadcast(tot))
+            .withColumn("quota_tokens",
+                        F.floor(w * F.col("budget") / 100.0).cast("long")))
+    return base.select(
+        "lang",
+        F.col("avail_tokens").cast("bigint").alias("avail_tokens"),
+        F.col("quota_tokens").cast("bigint").alias("quota_tokens"),
+        F.floor(F.col("quota_tokens") * 1000.0 / F.col("avail_tokens"))
+        .cast("bigint").alias("epochs_milli"),
+        (F.col("quota_tokens") > F.col("avail_tokens")).alias("oversampled"))
+
+
 # --- remaining SURVEY §2 operators -------------------------------------------
 def j4_enrich_semi(spark, sf_dir):
     """J4: push ⋈ ip_asn + semi-filter on history ids, query.py:107-109 —
@@ -2825,6 +2885,81 @@ ORACLE_SQL: dict[str, str] = {
                          - ln((cr + 1.0) / (tr + 1024))), 4) AS dsir_logw
         FROM feats LEFT JOIN tgt USING (b) JOIN rawm USING (b), tott, totr
         GROUP BY doc_id""",
+    # composition of the text_langid / text_ngram_lm_score /
+    # text_gopher_rules oracles + CCNet head/middle/tail tertiles
+    # (quantile_cont ≡ Spark percentile, the a8 parity).
+    "quality_pipeline_e2e": """
+        WITH w AS (SELECT doc_id, text,
+                          string_split_regex(trim(text), '\\s+') AS words
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     len(list_filter(words, x -> x IN ('the','a','of'))) AS s_en,
+                     len(list_filter(words, x -> x IN ('der','die','und'))) AS s_de,
+                     len(list_filter(words, x -> x IN ('el','los','y'))) AS s_es,
+                     len(list_filter(words, x -> x IN ('le','les','et'))) AS s_fr,
+                     length(regexp_replace(text, '[^一-龥]', '', 'g')) AS s_zh
+              FROM w),
+        lang AS (
+          SELECT doc_id,
+                 CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                           AND s_en >= s_zh THEN 'en'
+                      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh
+                        THEN 'de'
+                      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                      WHEN s_fr >= s_zh THEN 'fr'
+                      ELSE 'zh' END AS pred_lang
+          FROM s),
+        gopher AS (
+          SELECT doc_id,
+                 (len(words) BETWEEN 5 AND 100000
+                  AND (list_aggregate(list_transform(words, x -> length(x)),
+                                      'sum')
+                       / cast(len(words) AS double)) BETWEEN 2.0 AND 12.0
+                  AND round(len(list_filter(words, x -> contains(x, '#')
+                                                     OR contains(x, '...')
+                                                     OR contains(x, '…')))
+                            / cast(len(words) AS double), 4) <= 0.1
+                  AND round(len(list_filter(words,
+                                            x -> regexp_matches(x, '[A-Za-z]')))
+                            / cast(len(words) AS double), 4) >= 0.6
+                  AND len(list_filter(words, x -> lower(x) IN
+                      ('the','be','to','of','and','that','have','with'))) >= 1)
+                 AS gopher_passes
+          FROM w),
+        toks AS (SELECT doc_id, unnest(words) AS tok FROM w),
+        freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM freq),
+        lm AS (SELECT doc_id,
+                      round(avg(-ln(CAST(c AS DOUBLE) / tot)), 4) AS lm_score
+               FROM toks JOIN freq USING (tok), tot GROUP BY doc_id),
+        th AS (SELECT quantile_cont(lm_score, 1.0/3) AS p33,
+                      quantile_cont(lm_score, 2.0/3) AS p66 FROM lm)
+        SELECT lm.doc_id, pred_lang, lm_score,
+               CASE WHEN lm_score <= p33 THEN 'head'
+                    WHEN lm_score <= p66 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket,
+               gopher_passes,
+               (gopher_passes AND lm_score <= p66) AS keep
+        FROM lm JOIN lang USING (doc_id) JOIN gopher USING (doc_id), th""",
+    "mix_allocation": """
+        WITH avail AS (
+          SELECT lang,
+                 CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                      AS BIGINT) AS avail_tokens
+          FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS budget
+                FROM avail)
+        SELECT lang, avail_tokens, quota_tokens,
+               CAST(floor(quota_tokens * 1000.0 / avail_tokens) AS BIGINT)
+                 AS epochs_milli,
+               quota_tokens > avail_tokens AS oversampled
+        FROM (
+          SELECT lang, avail_tokens,
+                 CAST(floor((CASE WHEN lang = 'en' THEN 50
+                                  WHEN lang = 'zh' THEN 30
+                                  ELSE 20 END * budget) / 100.0) AS BIGINT)
+                   AS quota_tokens
+          FROM avail, tot)""",
     "dedup_minhash_lsh": """
         WITH d AS (
           SELECT doc_id,
@@ -3611,6 +3746,8 @@ def queries():
         "bpe_train_merges": bpe_train_merges,
         "bpe_apply_tokenize": bpe_apply_tokenize,
         "text_dsir_weights": text_dsir_weights,
+        "quality_pipeline_e2e": quality_pipeline_e2e,
+        "mix_allocation": mix_allocation,
         # -- (b2) shared primitives changed in r4 after the r03 rows --
         "img_decode_stats": img_decode_stats,
         "img_resize_thumb": img_resize_thumb,

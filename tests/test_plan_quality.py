@@ -336,6 +336,25 @@ def test_bpe_apply_segmentation_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_quality_pipeline_narrow_joins(spark):
+    """quality_pipeline_e2e: the three per-doc stage branches equi-join on
+    doc_id and the tertile thresholds arrive as a broadcast 1-row dim —
+    never a cartesian; the text column must not appear in the join keys
+    (only ids and verdicts join)."""
+    plan = _plan(spark, "quality_pipeline_e2e")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mix_allocation_two_aggregates_only(spark):
+    """mix_allocation: one lang partial-agg shuffle plus the broadcast
+    1-row budget dim — no join of corpus-sized sides, no Python."""
+    plan = _plan(spark, "mix_allocation")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_dsir_models_broadcast(spark):
     """text_dsir_weights: the O(B)-bucket target/raw models must broadcast
     into the corpus-sized feature stream (two BroadcastHashJoins); the
