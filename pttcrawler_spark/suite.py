@@ -1461,12 +1461,13 @@ def text_dsir_weights(spark, sf_dir):
     unigrams + bigrams hashed to B=1024 buckets (md5-prefix, identical in
     both engines); target model = the doc_id % 5 == 0 slice (the
     deterministic stand-in for a curated quality target), raw model = the
-    full corpus; add-1 smoothing over the B buckets. Scale shape: both
-    models are O(B) rows → broadcast dims built by partial-agg shuffles of
-    at most B×partitions rows; the corpus side computes features map-side
-    and shuffles once on doc_id for the final partial-agg sum — no
-    corpus-sized join side ever shuffles, and the text column never
-    reaches an Exchange."""
+    full corpus; add-1 smoothing over the B buckets. Scale shape: target
+    and raw models plus both totals come out of ONE corpus aggregation
+    pass (conditional count + a global window over the O(B)-row result)
+    and broadcast; the fact side computes features map-side and shuffles
+    once on doc_id for the final partial-agg sum — exactly 2 corpus
+    scans, no corpus-sized join side ever shuffles, and the text column
+    never reaches an Exchange."""
     ws = (t(spark, sf_dir, "documents")
           .select("doc_id", _words(F.col("text")).alias("ws")))
     m = F.greatest(F.size("ws") - 1, F.lit(0))
@@ -1477,17 +1478,22 @@ def text_dsir_weights(spark, sf_dir):
              .select("doc_id",
                      (F.conv(F.substring(F.md5("f"), 1, 7), 16, 10)
                       .cast("long") % _DSIR_B).alias("b")))
-    tgt = (feats.where(F.col("doc_id") % 5 == 0)
-           .groupBy("b").agg(F.count("*").alias("ct")))
-    rawm = feats.groupBy("b").agg(F.count("*").alias("cr"))
-    tott = tgt.agg(F.sum("ct").cast("double").alias("tt"))
-    totr = rawm.agg(F.sum("cr").cast("double").alias("tr"))
-    llr = (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                 / (F.col("tt") + _DSIR_B))
+    # BOTH models + their totals from ONE corpus pass: conditional count
+    # for the target slice inside the raw aggregation, totals as a global
+    # window over the resulting O(B)-row table (tiny — one partition).
+    # With the fact-side probe scan that makes 2 corpus scans total, vs 5
+    # for the naive tgt/raw/totals branches — at 100 TB the scans ARE the
+    # cost, the models are noise.
+    wall = Window.partitionBy()
+    model = (feats.groupBy("b")
+             .agg(F.count("*").alias("cr"),
+                  F.count(F.when(F.col("doc_id") % 5 == 0, True)).alias("ct"))
+             .select("b", "cr", "ct",
+                     F.sum("cr").over(wall).cast("double").alias("tr"),
+                     F.sum("ct").over(wall).cast("double").alias("tt")))
+    llr = (F.log((F.col("ct") + 1.0) / (F.col("tt") + _DSIR_B))
            - F.log((F.col("cr") + 1.0) / (F.col("tr") + _DSIR_B)))
-    return (feats.join(F.broadcast(tgt), "b", "left")
-            .join(F.broadcast(rawm), "b")
-            .crossJoin(F.broadcast(tott)).crossJoin(F.broadcast(totr))
+    return (feats.join(F.broadcast(model), "b")
             .groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_feats"),
                  F.round(F.sum(llr), 4).alias("dsir_logw")))

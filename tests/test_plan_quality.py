@@ -356,11 +356,14 @@ def test_mix_allocation_two_aggregates_only(spark):
 
 
 def test_dsir_models_broadcast(spark):
-    """text_dsir_weights: the O(B)-bucket target/raw models must broadcast
-    into the corpus-sized feature stream (two BroadcastHashJoins); the
-    only fact-side Exchanges are partial-agg shuffles — never a sort-merge
-    join of the corpus against itself."""
+    """text_dsir_weights: the fused O(B)-bucket model (raw + target +
+    totals in one aggregation) must broadcast into the corpus-sized
+    feature stream, and the whole query reads the corpus exactly twice
+    (model build + fact probe) — a third scan means the totals or the
+    target model regressed to their own corpus branches."""
     plan = _plan(spark, "text_dsir_weights")
-    assert plan.count("BroadcastHashJoin") >= 2
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert tree.count("Scan parquet") == 2
