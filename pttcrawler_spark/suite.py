@@ -1511,7 +1511,14 @@ def quality_pipeline_e2e(spark, sf_dir):
     dim (exact interpolated percentile here for oracle parity — at 10^10
     docs swap in approx_percentile, the graded a8b scale path). keep =
     gopher_passes ∧ bucket ≠ tail. The three per-doc branches equi-join on
-    doc_id (narrow rows: id + verdicts; text never joins)."""
+    doc_id (narrow rows: id + verdicts; text never joins). Deliberate
+    trade: the threshold branch RE-DERIVES the lm subplan (two extra
+    corpus scans) rather than computing tertiles as a global window over
+    lm — a single-partition window over one-row-per-doc is the known
+    scale anti-pattern (operators/seq.py rationale), and a production
+    pipeline would instead checkpoint the per-doc lm table once and read
+    it twice; as a stateless query, re-derivation is the distributed
+    choice."""
     lang = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
     gopher = (text_gopher_rules(spark, sf_dir)
               .select("doc_id", F.col("passes").alias("gopher_passes")))
