@@ -1543,20 +1543,23 @@ def mix_allocation(spark, sf_dir):
     (epochs) the trainer must apply — the step that turns curated corpora
     into a training mixture. Weights: en 50%, zh 30%, other 20%; budget =
     the corpus's own total (a self-referential reshape, so the instance
-    is parameter-free). One groupBy(lang) partial-agg shuffle + a 1-row
-    broadcast total; all arithmetic is floor() over products < 2^53, so
-    both engines agree bit-for-bit."""
+    is parameter-free). One groupBy(lang) partial-agg shuffle, then the
+    global budget as a window over the O(#langs)-row result — a single
+    corpus scan (plan-asserted); all arithmetic is floor() over products
+    < 2^53, so both engines agree bit-for-bit."""
     avail = (t(spark, sf_dir, "documents")
              .select("lang",
                      F.size(_words(F.col("text"))).cast("long").alias("nt"))
              .groupBy("lang").agg(F.sum("nt").alias("avail_tokens")))
-    tot = avail.agg(F.sum("avail_tokens").alias("budget"))
+    # budget = global sum as a window over the O(#langs)-row aggregate —
+    # ONE corpus scan total (the dsir fused-model trick; a second agg
+    # branch would re-scan the corpus just to add ≤5 numbers)
+    budget = F.sum("avail_tokens").over(Window.partitionBy())
     w = (F.when(F.col("lang") == "en", F.lit(50))
          .when(F.col("lang") == "zh", F.lit(30))
          .otherwise(F.lit(20))).cast("long")
-    base = (avail.crossJoin(F.broadcast(tot))
-            .withColumn("quota_tokens",
-                        F.floor(w * F.col("budget") / 100.0).cast("long")))
+    base = avail.withColumn(
+        "quota_tokens", F.floor(w * budget / 100.0).cast("long"))
     return base.select(
         "lang",
         F.col("avail_tokens").cast("bigint").alias("avail_tokens"),

@@ -346,12 +346,13 @@ def test_quality_pipeline_narrow_joins(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_mix_allocation_two_aggregates_only(spark):
-    """mix_allocation: one lang partial-agg shuffle plus the broadcast
-    1-row budget dim — no join of corpus-sized sides, no Python."""
+def test_mix_allocation_single_scan(spark):
+    """mix_allocation: one lang partial-agg shuffle, budget as a window
+    over the O(#langs)-row result — ONE corpus scan, no join, no Python."""
     plan = _plan(spark, "mix_allocation")
-    assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
