@@ -1225,22 +1225,27 @@ def text_decontaminate(spark, sf_dir):
     KBs, corpora are TBs) → broadcast join; the corpus side shuffles
     nothing — grams are generated and probed map-side, only (doc_id,
     n_hits) survives to the aggregate. Gram construction reuses the
-    codegen-safe zip_with shingle builder (no interpreted HOF re-eval)."""
+    codegen-safe zip_with shingle builder (no interpreted HOF re-eval).
+    The doc spine rides the gram stream via explode_outer (a doc with no
+    8-grams keeps one NULL-gram row, which can never match the bench
+    set), so the fact side is ONE corpus scan — no third scan to left-join
+    the spine back (plan-asserted 2 scans total: fact + tiny bench
+    derivation)."""
     docs = (t(spark, sf_dir, "documents")
             .select("doc_id", _words(F.col("text")).alias("ws")))
     bench = (docs.where(F.col("doc_id") % 7 == 0)
              .select(F.md5(F.array_join(F.slice("ws", 3, 8), " ")).alias("g"))
-             .distinct())
+             .distinct().withColumn("_hit", F.lit(1)))
     grams = (docs.select(
                  "doc_id",
-                 F.explode(_shingles_of_words(F.col("ws"), 8)).alias("gram"))
+                 F.explode_outer(_shingles_of_words(F.col("ws"), 8))
+                 .alias("gram"))
              .select("doc_id", F.md5("gram").alias("g")))
-    hits = (grams.join(F.broadcast(bench), "g")
-            .groupBy("doc_id").agg(F.count("*").alias("hits")))
-    return (docs.join(hits, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("hits", F.lit(0)).cast("bigint").alias("n_hits"),
-                    (F.coalesce("hits", F.lit(0)) > 0).alias("contaminated")))
+    return (grams.join(F.broadcast(bench), "g", "left")
+            .groupBy("doc_id")
+            .agg(F.count("_hit").cast("bigint").alias("n_hits"))
+            .select("doc_id", "n_hits",
+                    (F.col("n_hits") > 0).alias("contaminated")))
 
 
 def text_line_dedup(spark, sf_dir):

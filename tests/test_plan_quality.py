@@ -336,6 +336,17 @@ def test_bpe_apply_segmentation_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_decontaminate_two_scans(spark):
+    """text_decontaminate: the doc spine rides the gram stream
+    (explode_outer), so the corpus is read once for the fact side and
+    once for the tiny bench derivation — a third scan means the spine
+    left-join regressed."""
+    plan = _plan(spark, "text_decontaminate")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert "BroadcastHashJoin LeftOuter" in tree
+
+
 def test_quality_pipeline_narrow_joins(spark):
     """quality_pipeline_e2e: the three per-doc stage branches equi-join on
     doc_id and the tertile thresholds arrive as a broadcast 1-row dim —
