@@ -2082,39 +2082,60 @@ def graph_pagerank(spark, sf_dir):
     (contribution = pr div outdeg; pr' = teleport + (85·inflow) div 100
     with teleport = (15·(SCALE div N)) div 100), so shuffle order cannot
     drift a bit and the DuckDB oracle (3 unrolled CTE iterations)
-    reproduces every rank exactly."""
-    li = t(spark, sf_dir, "lineitem")
-    edges = (li.select(
-                 (F.col("l_orderkey") % _PR_N).cast("long").alias("src"),
-                 (F.col("l_partkey") % _PR_N).cast("long").alias("dst"))
-             .where(F.col("src") != F.col("dst"))
-             .distinct().persist())
+    reproduces every rank exactly.
+
+    Loop-state discipline (the kmeans_lloyd shape): each iteration RUNS —
+    one inflow job over the persisted edges — and the O(nodes) rank
+    vector round-trips the driver (≤ _PR_N rows/iteration, the bounded
+    control-plane pattern). The lazy alternative (chain iterations into
+    one returned plan) compounds lineage: with no action inside the loop
+    nothing is ever cached, so the single final action re-derives the
+    edge table once per rank reference — 14 scans for 3 iterations,
+    measured — and the 'edges move once per iteration' claim dies. At
+    host-scale rank tables (10^7+), swap the driver round-trip for a
+    per-iteration checkpoint of the rank table; the per-iteration plan is
+    identical."""
+    edges = _pr_edges(spark, sf_dir).persist()
     try:
-        nodes = (edges.select(F.col("src").alias("node"))
-                 .union(edges.select(F.col("dst").alias("node")))
-                 .distinct())
-        n = nodes.count()  # bounded control-plane aggregate: ≤ _PR_N rows
-        base = _PR_SCALE // n
+        nodes = sorted(r["node"] for r in
+                       (edges.select(F.col("src").alias("node"))
+                        .union(edges.select(F.col("dst").alias("node")))
+                        .distinct().collect()))  # bounded: ≤ _PR_N rows
+        base = _PR_SCALE // len(nodes)
         teleport = (15 * base) // 100
         outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        ranks = nodes.withColumn("pr", F.lit(base).cast("long"))
+        pr = {node: base for node in nodes}
         for _ in range(_PR_ITERS):
-            contrib = (edges
-                       .join(F.broadcast(ranks.withColumnRenamed("node",
-                                                                 "src")),
-                             "src")
-                       .join(F.broadcast(outdeg), "src")
-                       .select("dst", F.expr("pr div deg").alias("c")))
-            inflow = (contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-                      .withColumnRenamed("dst", "node"))
-            ranks = (nodes.join(inflow, "node", "left")
-                     .select("node",
-                             (F.lit(teleport)
-                              + F.expr("(85 * coalesce(s, 0L)) div 100"))
-                             .cast("long").alias("pr")))
-        return ranks
+            rdf = spark.createDataFrame(
+                [(node, p) for node, p in pr.items()], "src long, pr long")
+            inflow = _pr_inflow(edges, outdeg, rdf).collect()  # ≤ _PR_N rows
+            got = {int(r["dst"]): int(r["s"]) for r in inflow}
+            pr = {node: teleport + (85 * got.get(node, 0)) // 100
+                  for node in nodes}
+        return spark.createDataFrame(
+            [(node, p) for node, p in pr.items()], "node long, pr long")
     finally:
         edges.unpersist()
+
+
+def _pr_edges(spark, sf_dir):
+    """Deterministic deduped link graph from lineitem."""
+    return (t(spark, sf_dir, "lineitem")
+            .select((F.col("l_orderkey") % _PR_N).cast("long").alias("src"),
+                    (F.col("l_partkey") % _PR_N).cast("long").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _pr_inflow(edges, outdeg, rdf):
+    """One power-iteration job: broadcast the O(nodes) rank table into the
+    edge list, one partial-agg shuffle on dst. Split out so the plan is
+    test-assertable (tests/test_plan_quality.py)."""
+    return (edges
+            .join(F.broadcast(rdf), "src")
+            .join(F.broadcast(outdeg), "src")
+            .select("dst", F.expr("pr div deg").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("s")))
 
 
 # F6/F7 raw-page parse suite entries: a fixed 192-slot synthetic site

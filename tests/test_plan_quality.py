@@ -305,11 +305,29 @@ def test_semantic_dedup_pairs_confined_to_cluster(spark):
 def test_pagerank_rank_side_broadcast(spark):
     """graph_pagerank: every iteration joins the O(nodes) rank table into
     the O(edges) edge list — the rank side must broadcast so the edge
-    table is never re-shuffled across iterations."""
-    plan = _plan(spark, "graph_pagerank")
-    assert "BroadcastHashJoin" in plan
+    table is never re-shuffled across iterations. The returned result is
+    the materialized O(nodes) rank vector (the kmeans loop-state
+    discipline — a lazily chained loop re-derived the edge table 14× in
+    one action)."""
+    from pyspark.sql import functions as F
+
+    from pttcrawler_spark import suite as s
+
+    edges = s._pr_edges(spark, SF)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    rdf = spark.createDataFrame([(0, 100), (1, 100)], "src long, pr long")
+    df = s._pr_inflow(edges, outdeg, rdf)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # returned query: a bounded literal rank vector, no lingering lineage
+    out = _plan(spark, "graph_pagerank")
+    assert "Scan parquet" not in out.split("\n\n")[0]
 
 
 def test_bpe_merges_single_vocab_exchange(spark):
