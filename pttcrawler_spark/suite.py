@@ -2084,36 +2084,42 @@ def graph_pagerank(spark, sf_dir):
     drift a bit and the DuckDB oracle (3 unrolled CTE iterations)
     reproduces every rank exactly.
 
-    Loop-state discipline (the kmeans_lloyd shape): each iteration RUNS —
-    one inflow job over the persisted edges — and the O(nodes) rank
-    vector round-trips the driver (≤ _PR_N rows/iteration, the bounded
-    control-plane pattern). The lazy alternative (chain iterations into
-    one returned plan) compounds lineage: with no action inside the loop
-    nothing is ever cached, so the single final action re-derives the
-    edge table once per rank reference — 14 scans for 3 iterations,
-    measured — and the 'edges move once per iteration' claim dies. At
-    host-scale rank tables (10^7+), swap the driver round-trip for a
-    per-iteration checkpoint of the rank table; the per-iteration plan is
-    identical."""
+    Loop-state discipline (round-5 form): rank lives as a DataFrame and
+    NEVER round-trips the driver — each iteration ends in
+    localCheckpoint(), which (a) materializes the O(nodes) rank on the
+    executors (one bounded job per iteration, the engine/crawl.py:37-40
+    per-batch lineage break) and (b) truncates lineage so the next
+    iteration's plan starts from the checkpointed blocks instead of
+    re-deriving the whole chain (the lazy alternative re-derived the edge
+    table 14× for 3 iterations, measured in round 4). The only scalar
+    that ever reaches the driver is count(nodes) for the teleport
+    constant. At 10^7+ nodes the same loop works unchanged: checkpointed
+    rank blocks shard across executors, the rank-update join is a
+    node-keyed shuffle of O(nodes) rows, and the broadcast hint on the
+    rank→edges join hands over to AQE's shuffle join when rank outgrows
+    the broadcast threshold."""
     edges = _pr_edges(spark, sf_dir).persist()
     try:
-        nodes = sorted(r["node"] for r in
-                       (edges.select(F.col("src").alias("node"))
-                        .union(edges.select(F.col("dst").alias("node")))
-                        .distinct().collect()))  # bounded: ≤ _PR_N rows
-        base = _PR_SCALE // len(nodes)
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .union(edges.select(F.col("dst").alias("node")))
+                 .distinct().localCheckpoint())
+        n = nodes.count()  # the ONLY driver-side value: one scalar
+        base = _PR_SCALE // n
         teleport = (15 * base) // 100
-        outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        pr = {node: base for node in nodes}
+        outdeg = (edges.groupBy("src").agg(F.count("*").alias("deg"))
+                  .localCheckpoint())
+        rank = nodes.select(
+            "node", F.lit(base).cast("long").alias("pr")).localCheckpoint()
         for _ in range(_PR_ITERS):
-            rdf = spark.createDataFrame(
-                [(node, p) for node, p in pr.items()], "src long, pr long")
-            inflow = _pr_inflow(edges, outdeg, rdf).collect()  # ≤ _PR_N rows
-            got = {int(r["dst"]): int(r["s"]) for r in inflow}
-            pr = {node: teleport + (85 * got.get(node, 0)) // 100
-                  for node in nodes}
-        return spark.createDataFrame(
-            [(node, p) for node, p in pr.items()], "node long, pr long")
+            inflow = _pr_inflow(
+                edges, outdeg, rank.select(F.col("node").alias("src"), "pr"))
+            rank = (nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+                    .select(
+                        "node",
+                        F.expr(f"{teleport}L + (85 * coalesce(s, 0L)) div 100")
+                        .cast("long").alias("pr"))
+                    .localCheckpoint())
+        return rank
     finally:
         edges.unpersist()
 

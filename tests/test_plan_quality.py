@@ -306,9 +306,9 @@ def test_pagerank_rank_side_broadcast(spark):
     """graph_pagerank: every iteration joins the O(nodes) rank table into
     the O(edges) edge list — the rank side must broadcast so the edge
     table is never re-shuffled across iterations. The returned result is
-    the materialized O(nodes) rank vector (the kmeans loop-state
-    discipline — a lazily chained loop re-derived the edge table 14× in
-    one action)."""
+    the per-iteration-checkpointed O(nodes) rank DataFrame (the
+    engine/crawl.py loop-state discipline — a lazily chained loop
+    re-derived the edge table 14× in one action)."""
     from pyspark.sql import functions as F
 
     from pttcrawler_spark import suite as s
@@ -325,9 +325,41 @@ def test_pagerank_rank_side_broadcast(spark):
     assert tree.count("BroadcastHashJoin") == 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # returned query: a bounded literal rank vector, no lingering lineage
+    # returned query: checkpoint-backed, no lingering parquet lineage
     out = _plan(spark, "graph_pagerank")
     assert "Scan parquet" not in out.split("\n\n")[0]
+
+
+def test_pagerank_no_driver_rank_roundtrip(spark, monkeypatch):
+    """Round-4 verdict #2: the per-iteration rank vector must NOT
+    round-trip the driver. Rank is a checkpointed DataFrame; the only
+    permitted driver-side results while building the query are 1-row
+    scalars (count). Intercept every Python-side row transfer
+    (DataFrame.collect / toPandas / toLocalIterator / take) and every
+    spark.createDataFrame during construction and require zero."""
+    from pyspark.sql import DataFrame, SparkSession
+
+    from pttcrawler_spark import suite as s
+
+    calls = []
+    for name in ("collect", "toPandas", "toLocalIterator", "take"):
+        orig = getattr(DataFrame, name)
+
+        def spy(self, *a, _n=name, _o=orig, **kw):
+            calls.append(_n)
+            return _o(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, name, spy)
+    orig_create = SparkSession.createDataFrame
+
+    def spy_create(self, *a, **kw):
+        calls.append("createDataFrame")
+        return orig_create(self, *a, **kw)
+
+    monkeypatch.setattr(SparkSession, "createDataFrame", spy_create)
+    df = s.graph_pagerank(spark, SF)
+    assert calls == [], calls
+    assert df.count() > 0
 
 
 def test_bpe_merges_single_vocab_exchange(spark):
