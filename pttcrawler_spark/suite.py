@@ -1406,32 +1406,43 @@ def bpe_train_merges(spark, sf_dir):
 def _bpe_learn(spark, sf_dir):
     """Run the _BPE_ITERS merge iterations; return (vocab df with (w, c),
     final-encoding Column over it). Shared by bpe_train_merges and
-    bpe_apply_tokenize (the _km_fit pattern)."""
+    bpe_apply_tokenize (the _km_fit pattern).
+
+    The corpus-scanning word-frequency aggregate is localCheckpoint()ed,
+    so the corpus really is read ONCE for everything: the merge loop AND
+    the callers' returned output plans all scan the checkpointed vocab
+    blocks, never the parquet again (plan-asserted in
+    tests/test_plan_quality.py). A merge iteration with no remaining
+    symbol pair (every word fully merged, or an all-single-char corpus)
+    stops the loop early instead of indexing an empty top-1. (On such a
+    degenerate corpus the unrolled DuckDB oracle degenerates to an empty
+    result instead — the graded tables are never degenerate; the guard
+    exists so the failure mode is a clean early stop, not an
+    IndexError.)"""
     words = (t(spark, sf_dir, "documents")
              .select(F.explode(_words(F.col("text"))).alias("w"))
              .where(F.length("w") >= 1))
-    vocab = words.groupBy("w").agg(F.count("*").alias("c")).persist()
-    try:
-        enc = F.concat(F.lit(" "),
-                       F.array_join(F.split(F.col("w"), ""), "  "),
-                       F.lit(" "))
-        for _ in range(_BPE_ITERS):
-            syms = F.split(F.trim(enc), "  ")
-            m = F.greatest(F.size(syms) - 1, F.lit(0))
-            pairs = F.zip_with(
-                F.slice(syms, 1, m), F.slice(syms, 2, m),
-                lambda x, y: F.concat(F.lit(" "), x, F.lit("  "), y,
-                                      F.lit(" ")))
-            top = (vocab.select("c", F.explode(pairs).alias("pat"))
-                   .groupBy("pat").agg(F.sum("c").alias("cnt"))
-                   .orderBy(F.col("cnt").desc(), F.col("pat").asc())
-                   .limit(1).collect())  # bounded: 1 row per iteration
-            pat = top[0]["pat"]
-            rep = " " + pat.strip().replace("  ", "") + " "
-            enc = F.replace(enc, F.lit(pat), F.lit(rep))
-        return vocab, enc
-    finally:
-        vocab.unpersist()
+    vocab = words.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
+    enc = F.concat(F.lit(" "),
+                   F.array_join(F.split(F.col("w"), ""), "  "),
+                   F.lit(" "))
+    for _ in range(_BPE_ITERS):
+        syms = F.split(F.trim(enc), "  ")
+        m = F.greatest(F.size(syms) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(syms, 1, m), F.slice(syms, 2, m),
+            lambda x, y: F.concat(F.lit(" "), x, F.lit("  "), y,
+                                  F.lit(" ")))
+        top = (vocab.select("c", F.explode(pairs).alias("pat"))
+               .groupBy("pat").agg(F.sum("c").alias("cnt"))
+               .orderBy(F.col("cnt").desc(), F.col("pat").asc())
+               .limit(1).collect())  # bounded: 1 row per iteration
+        if not top:  # vocab fully merged before _BPE_ITERS: stop cleanly
+            break
+        pat = top[0]["pat"]
+        rep = " " + pat.strip().replace("  ", "") + " "
+        enc = F.replace(enc, F.lit(pat), F.lit(rep))
+    return vocab, enc
 
 
 def bpe_apply_tokenize(spark, sf_dir):
@@ -2030,7 +2041,11 @@ def dedup_semantic(spark, sf_dir):
     dedup_embedding_cosine it is the documented small-scale oracle twin;
     the production setting scales k ∝ n (SemDeDup uses k = 11k at 134M
     docs) so cluster population — and the per-cluster pair count — stays
-    constant as the corpus grows.
+    constant as the corpus grows. That production setting IS graded too:
+    `dedup_semantic_scaled` runs k = max(16, ceil(n/32)) with
+    DataFrame-resident centroids and its own exact dynamic-k oracle —
+    this fixed-k key remains as the oracle twin that cross-checks the
+    family against the kmeans_lloyd CTE chain.
 
     Verdict rule (deterministic keeper): doc j is a semantic dup iff some
     i < j in the SAME cluster has cos(i,j) ≥ 0.5. Cosine runs on the
@@ -2059,6 +2074,109 @@ def dedup_semantic(spark, sf_dir):
     return (assigned.join(dups.withColumn("_d", F.lit(True)), "vec_id", "left")
             .select("vec_id", "cluster",
                     F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup")))
+
+
+_SEM_C = 32       # SemDeDup target cluster population (k = ceil(n / _SEM_C))
+_SEM_MIN_K = 16
+_SEM_ITERS = 2
+
+
+def _sem_centroids(q, assign):
+    """Centroid table (cluster, cent: array<long>) from an assignment —
+    one partial-agg shuffle of k·d longs (posexplode feeds map-side
+    combine), then an O(k) regroup to arrays. floor(sum/count) runs on
+    exactly-representable doubles so DuckDB reproduces every element.
+    Clusters that lost all members simply vanish (their rows never reach
+    the GROUP BY) — derived-from-assignment centroids need no
+    carry-previous rule."""
+    return (q.join(assign, "vec_id")
+            .select("cluster", F.posexplode("q").alias("pos", "e"))
+            .groupBy("cluster", "pos")
+            .agg(F.floor(F.sum("e").cast("double") / F.count("*"))
+                 .cast("long").alias("ce"))
+            .groupBy("cluster")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ce"))),
+                lambda s: s["ce"]).alias("cent")))
+
+
+def _sem_assign(q, cents):
+    """Argmin assignment of every vector against the broadcast centroid
+    table: n·k distance rows stay NARROW (vec_id, struct(d, c) — the
+    d=64 arrays never enter the shuffle) and min(struct) is partial-
+    aggregatable, so each map task combines its n·k rows down to n before
+    the vec_id exchange. Ties break to the lowest cluster id via the
+    struct's (d, c) lexicographic order — the exact QUALIFY
+    row_number() ORDER BY dist, cid rule the oracle uses."""
+    d = F.aggregate(F.zip_with("q", "cent", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"), lambda acc, x_: acc + x_)
+    return (q.crossJoin(F.broadcast(cents))
+            .select("vec_id",
+                    F.struct(d.alias("d"), F.col("cluster").alias("c"))
+                    .alias("dc"))
+            .groupBy("vec_id").agg(F.min("dc").alias("m"))
+            .select("vec_id", F.col("m.c").alias("cluster")))
+
+
+def dedup_semantic_scaled(spark, sf_dir):
+    """SemDeDup's SCALE path (round-4 verdict #1): k grows with the corpus
+    — k = max(16, ceil(n / 32)) — so expected cluster population stays a
+    CONSTANT 32 as n grows, the within-cluster pair stage is O(n·c̄)
+    expected (not O(n²/k) at fixed k), and the pair join fans out over
+    O(n/32) cluster keys instead of capping parallelism at 4. This is the
+    published SemDeDup operating point (Abbas et al. 2023 run k = 11,000
+    at 134M docs ≈ constant cluster size); `dedup_semantic` remains the
+    fixed-k oracle twin.
+
+    What makes dynamic k exactly gradeable where the fixed-k twin needed
+    literal centroids: the seed rule is an ASSIGNMENT (cluster₀ =
+    vec_id % k), not a centroid list, so centroids are always derived
+    from the previous assignment by a plain GROUP BY — no driver collect,
+    no k·d literals in the plan, and the DuckDB oracle mirrors every
+    stage as ordinary SQL (centroid CTE = GROUP BY, assignment CTE =
+    argmin join) with k itself computed by the oracle from count(*).
+    Loop state per iteration is the O(k·d) centroid table,
+    localCheckpoint()ed (the engine/crawl.py lineage-break discipline);
+    the quantized vectors are scanned from cache, never re-derived. All
+    distance/centroid/cosine arithmetic is the integer-quantized exact
+    math of kmeans_lloyd/_km_quantize, so every cluster id and is_dup
+    bit hash-matches the oracle."""
+    q = _km_quantize(spark, sf_dir).persist()
+    try:
+        n = q.count()  # bounded control-plane scalar (sets k)
+        k = max(_SEM_MIN_K, math.ceil(n / _SEM_C))
+        assign = q.select(
+            "vec_id",
+            F.pmod(F.col("vec_id"), F.lit(k)).cast("long").alias("cluster"))
+        for _ in range(_SEM_ITERS):
+            cents = _sem_centroids(q, assign).localCheckpoint()
+            assign = _sem_assign(q, cents)
+        # the output plan references the assignment from THREE branches
+        # (spine + both pair sides): checkpoint it so the n·k argmin runs
+        # once, not three times
+        assign = assign.localCheckpoint()
+        assigned = (q.join(assign, "vec_id")
+                    .select("vec_id", "cluster",
+                            F.transform("q", lambda x: x.cast("double"))
+                            .alias("v")))
+        norm = F.sqrt(F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x))
+        sided = assigned.withColumn("nv", norm)
+        a, b = sided.alias("a"), sided.alias("b")
+        dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        dups = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                       & (F.col("a.vec_id") < F.col("b.vec_id")))
+                .where(dot / (F.col("a.nv") * F.col("b.nv")) >= 0.5)
+                .select(F.col("b.vec_id").alias("vec_id")).distinct())
+        return (assigned
+                .join(dups.withColumn("_d", F.lit(True)), "vec_id", "left")
+                .select("vec_id", "cluster",
+                        F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup")))
+    finally:
+        q.unpersist()
 
 
 _PR_N = 500          # link-graph node universe
@@ -3593,6 +3711,68 @@ ORACLE_SQL: dict[str, str] = {
         SELECT a.vec_id, a.cluster,
                (dp.vec_id IS NOT NULL) AS is_dup
         FROM a3 a LEFT JOIN dups dp ON dp.vec_id = a.vec_id""",
+    # dedup_semantic_scaled: dynamic k = max(16, ceil(n/32)). The seed rule
+    # is an ASSIGNMENT (vec_id % k), so every centroid CTE is a plain GROUP
+    # BY over the previous assignment — no literal centroids, and k itself
+    # comes from count(*). Same exact integer distance / floor(sum/count) /
+    # double dot-product devices as kmeans_lloyd.
+    "dedup_semantic_scaled": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                 AS q
+          FROM embeddings),
+        kk AS (SELECT greatest(16, CAST(ceil(count(*) / 32.0) AS BIGINT))
+                      AS k FROM q),
+        a0 AS (SELECT vec_id, vec_id % (SELECT k FROM kk) AS cluster FROM q),
+        s1 AS (SELECT a.cluster, i.i AS pos,
+                      CAST(floor(CAST(sum(v.q[i.i]) AS DOUBLE) / count(*))
+                           AS BIGINT) AS ce
+               FROM a0 a JOIN q v USING (vec_id) CROSS JOIN range(1, 65) i(i)
+               GROUP BY a.cluster, i.i),
+        c1 AS (SELECT cluster AS cid, list(ce ORDER BY pos) AS q FROM s1
+               GROUP BY cluster),
+        d1 AS (SELECT v.vec_id, c.cid,
+                      sum((v.q[i.i] - c.q[i.i]) * (v.q[i.i] - c.q[i.i])) AS dist
+               FROM q v CROSS JOIN c1 c CROSS JOIN range(1, 65) i(i)
+               GROUP BY v.vec_id, c.cid),
+        a1 AS (SELECT vec_id, cid AS cluster FROM d1
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) = 1),
+        s2 AS (SELECT a.cluster, i.i AS pos,
+                      CAST(floor(CAST(sum(v.q[i.i]) AS DOUBLE) / count(*))
+                           AS BIGINT) AS ce
+               FROM a1 a JOIN q v USING (vec_id) CROSS JOIN range(1, 65) i(i)
+               GROUP BY a.cluster, i.i),
+        c2 AS (SELECT cluster AS cid, list(ce ORDER BY pos) AS q FROM s2
+               GROUP BY cluster),
+        d2 AS (SELECT v.vec_id, c.cid,
+                      sum((v.q[i.i] - c.q[i.i]) * (v.q[i.i] - c.q[i.i])) AS dist
+               FROM q v CROSS JOIN c2 c CROSS JOIN range(1, 65) i(i)
+               GROUP BY v.vec_id, c.cid),
+        a2 AS (SELECT vec_id, cid AS cluster FROM d2
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) = 1),
+        nrm AS (SELECT vec_id,
+                       sqrt(sum(CAST(q[i.i] AS DOUBLE) * q[i.i])) AS nv
+                FROM q CROSS JOIN range(1, 65) i(i) GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                        sum(CAST(qa.q[i.i] AS DOUBLE) * qb.q[i.i]) AS dot
+                 FROM a2 a JOIN a2 b
+                        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                 JOIN q qa ON qa.vec_id = a.vec_id
+                 JOIN q qb ON qb.vec_id = b.vec_id
+                 CROSS JOIN range(1, 65) i(i)
+                 GROUP BY a.vec_id, b.vec_id),
+        dups AS (SELECT DISTINCT d.ib AS vec_id
+                 FROM dots d
+                 JOIN nrm na ON na.vec_id = d.ia
+                 JOIN nrm nb ON nb.vec_id = d.ib
+                 WHERE d.dot / (na.nv * nb.nv) >= 0.5)
+        SELECT a.vec_id, a.cluster,
+               (dp.vec_id IS NOT NULL) AS is_dup
+        FROM a2 a LEFT JOIN dups dp ON dp.vec_id = a.vec_id""",
     # graph_pagerank: 3 unrolled power iterations, all-integer arithmetic
     # (pr // deg contributions, (85*inflow) // 100 damping) — bit-exact
     "graph_pagerank": """
@@ -3757,75 +3937,25 @@ def queries():
     entries in insertion order. STANDING RULE (round-3 verdict #1): any key
     whose implementation changed since its last green driver row goes
     FIRST, so every key's latest driver row postdates its latest
-    implementation change. Round-4 window: (a) the four keys rewritten in
-    round 3 after their last grade (plus dedup_cluster_cc, whose input pair
-    set is dedup_minhash_lsh's) and text_simhash's round-4 empty-doc fix;
-    (b) the new round-4 keys; (b2) the img_*/av_* keys + img_verify_psnr,
-    whose shared primitives changed in round 4 AFTER their r03 rows
-    (f3630b7 rewrote synth/images.py make_pixels/phash64 — bit-identical,
-    property-tested in tests/test_image_ops.py, but the standing rule wants
-    a driver row postdating the change; ee9a9b8/60a65cf changed the verify
-    engine behind img_verify_psnr); (c) keys whose only green rows are
-    r01/r02 (oldest attestation) — the tail of this group may fall outside
-    the ~50 window, which is fine: they are unchanged since their green
-    row; (d) keys attested green in r03 and unchanged since fill the
-    tail."""
+    implementation change. ROTATION RULE (round-4 verdict #5): remaining
+    window slots go to the keys whose latest green row is OLDEST, so no
+    attestation ages beyond ~2 rounds. Round-5 window: (a) keys changed or
+    new in round 5 — dedup_semantic_scaled (new), graph_pagerank
+    (checkpointed-rank rewrite), bpe_train_merges / bpe_apply_tokenize
+    (_bpe_learn now localCheckpoints the vocab and guards empty top-1);
+    (b) oldest attestations first: the one r01 key, the twelve r02 keys,
+    then the r03 keys — the r03 tail past slot ~50 is unchanged since its
+    green row, which is fine; (c) keys attested green in r04 and
+    unchanged since fill the tail (newest attestations last)."""
     q = {
-        # -- (a) implementation changed after last driver grade --
-        "text_simhash": text_simhash,            # r3 rewrite + r4 empty-doc fix
-        "dedup_minhash_lsh": dedup_minhash_lsh,  # r3 codegen-shingle rewrite
-        "dedup_embedding_lsh": dedup_embedding_lsh,  # r3 norm-hoist rewrite
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,  # r3 _shingles rewrite
-        "dedup_cluster_cc": dedup_cluster_cc,    # consumes rewritten pair set
-        "kmeans_lloyd": kmeans_lloyd,            # r4 _km_fit refactor
-        # -- (b) new in round 4 --
-        "dedup_pipeline_e2e": dedup_pipeline_e2e,
-        "stream_urlseen_twin": stream_urlseen_twin,
-        "stream_latency_twin": stream_latency_twin,
-        "text_decontaminate": text_decontaminate,
-        "text_line_dedup": text_line_dedup,
-        "text_heavy_hitters": text_heavy_hitters,
-        "sample_reservoir": sample_reservoir,
-        "text_bm25": text_bm25,
-        "p9_politeness_admit": p9_politeness_admit,
-        "p9b_politeness_window": p9b_politeness_window,
-        "dedup_semantic": dedup_semantic,
-        "graph_pagerank": graph_pagerank,
-        "bpe_train_merges": bpe_train_merges,
-        "bpe_apply_tokenize": bpe_apply_tokenize,
-        "text_dsir_weights": text_dsir_weights,
-        "quality_pipeline_e2e": quality_pipeline_e2e,
-        "mix_allocation": mix_allocation,
-        # -- (b2) shared primitives changed in r4 after the r03 rows --
-        "img_decode_stats": img_decode_stats,
-        "img_resize_thumb": img_resize_thumb,
-        "img_phash_dedup": img_phash_dedup,
-        "img_phash_near_dup": img_phash_near_dup,
-        "img_phash_cluster": img_phash_cluster,
-        "img_crop_dup": img_crop_dup,
-        "img_dedup_bytes": img_dedup_bytes,
-        "img_aspect_bucket": img_aspect_bucket,
-        "av_frame_sample": av_frame_sample,
-        "av_audio_features": av_audio_features,
-        "img_verify_psnr": img_verify_psnr,
-        # -- (c) latest green row is r01/r02 --
-        "dedup_exact": dedup_exact,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "text_langid": text_langid,
-        "j4_enrich_semi": j4_enrich_semi,
-        "f3_author_regex": f3_author_regex,
-        "f5_ip_extract": f5_ip_extract,
-        "export_article_sheet": export_article_sheet,
-        "ann_topk_bruteforce": ann_topk_bruteforce,
-        "ann_ivf_label": ann_ivf_label,
-        "ann_ivf_topk": ann_ivf_topk,
-        "text_token_count": text_token_count,
-        "text_quality_score": text_quality_score,
-        "text_fingerprint": text_fingerprint,
-        "text_pii_scrub": text_pii_scrub,
-        "text_repetition": text_repetition,
-        "text_top_tokens": text_top_tokens,
+        # -- (a) implementation changed or new in round 5 --
+        "dedup_semantic_scaled": dedup_semantic_scaled,  # NEW: k ∝ n SemDeDup
+        "graph_pagerank": graph_pagerank,    # r5 checkpointed-rank rewrite
+        "bpe_train_merges": bpe_train_merges,      # r5 _bpe_learn change
+        "bpe_apply_tokenize": bpe_apply_tokenize,  # r5 _bpe_learn change
+        # -- (b) oldest attestation first: r01 --
         "stream_tumbling_agg": stream_tumbling_agg,
+        # -- (b) r02 --
         "w2_latest_login": w2_latest_login,
         "w4_floor_enumerate": w4_floor_enumerate,
         "w5_version_rotation": w5_version_rotation,
@@ -3838,7 +3968,7 @@ def queries():
         "f10_date_format": f10_date_format,
         "f11_lower_board": f11_lower_board,
         "f12_url_assembly": f12_url_assembly,
-        # -- (d) green in CORRECTNESS_r03 (most recent attestation) --
+        # -- (b) r03 --
         "flagship_tw_report": flagship_tw_report,
         "p1_point_lookup": p1_point_lookup,
         "p2_conj_filter": p2_conj_filter,
@@ -3874,8 +4004,57 @@ def queries():
         "text_token_count_bpe": text_token_count_bpe,
         "text_winnow_fingerprint": text_winnow_fingerprint,
         "text_substr_dedup": text_substr_dedup,
+        # ~window boundary: the r03 tail below is unchanged since its row
         "sample_stratified": sample_stratified,
         "stream_sessionize": stream_sessionize,
         "events_json_extract": events_json_extract,
+        # -- (c) attested green in CORRECTNESS_r04, unchanged since --
+        "text_simhash": text_simhash,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_cluster_cc": dedup_cluster_cc,
+        "kmeans_lloyd": kmeans_lloyd,
+        "dedup_pipeline_e2e": dedup_pipeline_e2e,
+        "stream_urlseen_twin": stream_urlseen_twin,
+        "stream_latency_twin": stream_latency_twin,
+        "text_decontaminate": text_decontaminate,
+        "text_line_dedup": text_line_dedup,
+        "text_heavy_hitters": text_heavy_hitters,
+        "sample_reservoir": sample_reservoir,
+        "text_bm25": text_bm25,
+        "p9_politeness_admit": p9_politeness_admit,
+        "p9b_politeness_window": p9b_politeness_window,
+        "dedup_semantic": dedup_semantic,
+        "text_dsir_weights": text_dsir_weights,
+        "quality_pipeline_e2e": quality_pipeline_e2e,
+        "mix_allocation": mix_allocation,
+        "img_decode_stats": img_decode_stats,
+        "img_resize_thumb": img_resize_thumb,
+        "img_phash_dedup": img_phash_dedup,
+        "img_phash_near_dup": img_phash_near_dup,
+        "img_phash_cluster": img_phash_cluster,
+        "img_crop_dup": img_crop_dup,
+        "img_dedup_bytes": img_dedup_bytes,
+        "img_aspect_bucket": img_aspect_bucket,
+        "av_frame_sample": av_frame_sample,
+        "av_audio_features": av_audio_features,
+        "img_verify_psnr": img_verify_psnr,
+        "dedup_exact": dedup_exact,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "text_langid": text_langid,
+        "j4_enrich_semi": j4_enrich_semi,
+        "f3_author_regex": f3_author_regex,
+        "f5_ip_extract": f5_ip_extract,
+        "export_article_sheet": export_article_sheet,
+        "ann_topk_bruteforce": ann_topk_bruteforce,
+        "ann_ivf_label": ann_ivf_label,
+        "ann_ivf_topk": ann_ivf_topk,
+        "text_token_count": text_token_count,
+        "text_quality_score": text_quality_score,
+        "text_fingerprint": text_fingerprint,
+        "text_pii_scrub": text_pii_scrub,
+        "text_repetition": text_repetition,
+        "text_top_tokens": text_top_tokens,
     }
     return q

@@ -302,6 +302,22 @@ def test_semantic_dedup_pairs_confined_to_cluster(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_scaled_pairs_confined_and_centroids_checkpointed(spark):
+    """dedup_semantic_scaled: the within-cluster pair join must be an
+    equi-join on the DYNAMIC cluster id (never an all-pairs product), the
+    argmin assignment must run against the broadcast checkpointed
+    centroid table (Scan ExistingRDD — never a re-derived aggregate), and
+    the assignment shuffle must carry only (vec_id, struct(d, c)) — the
+    d=64 arrays stay out of every Exchange."""
+    plan = _plan(spark, "dedup_semantic_scaled")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in tree  # checkpointed centroids
+    for line in tree.splitlines():
+        if "Exchange" in line:
+            assert "q#" not in line and "cent#" not in line, line
+
+
 def test_pagerank_rank_side_broadcast(spark):
     """graph_pagerank: every iteration joins the O(nodes) rank table into
     the O(edges) edge list — the rank side must broadcast so the edge
@@ -363,14 +379,16 @@ def test_pagerank_no_driver_rank_roundtrip(spark, monkeypatch):
 
 
 def test_bpe_merges_single_vocab_exchange(spark):
-    """bpe_train_merges: the returned segmentation plan is the vocab
-    aggregate (one Exchange on the word key) plus a pure whole-stage-
-    codegen replace() chain — no join, no second shuffle. The per-
-    iteration pair counts are separate bounded jobs; the OUTPUT plan must
-    not re-shuffle or join anything."""
+    """bpe_train_merges: the vocab word-frequency aggregate is computed
+    once and localCheckpoint()ed, so the returned segmentation plan is a
+    pure whole-stage-codegen replace() chain over the checkpointed vocab
+    blocks — NO parquet re-scan, no Exchange, no join. (Before round 5
+    the output plan re-derived the vocab aggregate, costing an extra
+    corpus scan per output job.)"""
     plan = _plan(spark, "bpe_train_merges")
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") == 1
+    assert "Scan parquet" not in tree
+    assert "Exchange" not in tree
     assert "Join" not in tree
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
