@@ -110,6 +110,19 @@ def admit_apply_in_pandas(pending: DataFrame, state: DataFrame,
     capped = ranked.where(F.col("_rank") <= F.ceil("_tokens"))
     overflow = ranked.where(F.col("_rank") > F.ceil("_tokens"))
 
+    # Pin the group-shuffle partition count. The capped set is tiny in BYTES
+    # (<= ceil(tokens) rows per host), so AQE's byte-based coalescing folds
+    # the applyInPandas shuffle into ONE partition — and per-group cost here
+    # is Python-side (one pandas call per host), which bytes don't predict:
+    # at 10^5 hosts a single worker serializes ~10^5 group calls (measured
+    # ~12 min/action at 10^5 hosts coalesced vs seconds fanned out). An
+    # explicit repartition(n, host) is exempt from AQE coalescing and
+    # satisfies the groupBy's ClusteredDistribution(host), so the pandas
+    # stage reuses it without a second exchange.
+    n_shuffle = int(pending.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    capped = capped.repartition(n_shuffle, "host")
+
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in pending.schema.fields
     ) + ", admit boolean, robots_blocked boolean"
