@@ -95,3 +95,34 @@ def test_bpe_train_matches_reference_trainer(spark):
         assert freq == word_freq[w], w
         assert n_tokens == len(segs[w]), w
         assert seg == encode(segs[w]), w
+
+
+def test_bpe_flatten_equivalence(spark):
+    """The merge-depth scale path (flatten_every: materialize the encoding
+    into the checkpointed vocab and reset the replace() chain) is pure
+    materialization — merge picks and final segmentations are bit-identical
+    to the unflattened loop at a depth where flattening fires repeatedly,
+    and both match the pure-Python reference trainer at that depth."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    iters = 7  # flatten_every=2 fires 3 times mid-loop
+
+    vocab_n, enc_n = suite._bpe_learn(spark, sf, iters=iters,
+                                      flatten_every=0)
+    vocab_f, enc_f = suite._bpe_learn(spark, sf, iters=iters,
+                                      flatten_every=2)
+    import pyspark.sql.functions as F
+    segs_n = {r["w"]: r["seg"] for r in
+              vocab_n.select("w", enc_n.alias("seg")).collect()}
+    segs_f = {r["w"]: r["seg"] for r in
+              vocab_f.select("w", enc_f.alias("seg")).collect()}
+    assert segs_n == segs_f
+
+    wf = duckdb.sql(
+        f"""SELECT w, count(*) AS c FROM (
+              SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM read_parquet('{sf}/documents.parquet'))
+            WHERE length(w) >= 1 GROUP BY w""").fetchall()
+    segs_ref, _ = _reference_bpe_train({w: c for w, c in wf}, iters)
+    assert segs_f == {w: encode(s) for w, s in segs_ref.items()}
