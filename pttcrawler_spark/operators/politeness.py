@@ -100,6 +100,24 @@ def admit_apply_in_pandas(pending: DataFrame, state: DataFrame,
     robots = robots or {}
     cap_w = _host_window()
     st = state.select("host", "tokens")
+    # Pin the host-shuffle partition count BEFORE the window. The admitted
+    # set is tiny in BYTES (<= ceil(tokens) rows per host), so AQE's
+    # byte-based coalescing folds an ENSURE_REQUIREMENTS host exchange into
+    # ONE partition — and per-group cost here is Python-side (one pandas
+    # call per host), which bytes don't predict: at 10^5 hosts a single
+    # worker serializes ~10^5 group calls (measured ~12 min/action
+    # coalesced vs seconds fanned out). An explicit repartition(n, host) is
+    # exempt from AQE coalescing, and placed HERE it is the ONLY host
+    # exchange in the chain: the rank window, the broadcast state join, and
+    # the groupBy.applyInPandas all have their ClusteredDistribution(host)
+    # satisfied by it, so EnsureRequirements inserts no coalescible
+    # exchange anywhere on the path. (Pinning AFTER the window does not
+    # survive AQE: at runtime the re-planner merges the user shuffle into
+    # the window's same-key ENSURE_REQUIREMENTS exchange and coalesces it
+    # — measured as a 1-task pandas stage at 10^5 hosts.)
+    n_shuffle = int(pending.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    pending = pending.repartition(n_shuffle, "host")
     # pre-truncate per host: nothing beyond ceil(tokens) can be admitted
     ranked = (
         pending.withColumn("_rank", F.row_number().over(cap_w))
@@ -110,19 +128,6 @@ def admit_apply_in_pandas(pending: DataFrame, state: DataFrame,
     capped = ranked.where(F.col("_rank") <= F.ceil("_tokens"))
     overflow = ranked.where(F.col("_rank") > F.ceil("_tokens"))
 
-    # Pin the group-shuffle partition count. The capped set is tiny in BYTES
-    # (<= ceil(tokens) rows per host), so AQE's byte-based coalescing folds
-    # the applyInPandas shuffle into ONE partition — and per-group cost here
-    # is Python-side (one pandas call per host), which bytes don't predict:
-    # at 10^5 hosts a single worker serializes ~10^5 group calls (measured
-    # ~12 min/action at 10^5 hosts coalesced vs seconds fanned out). An
-    # explicit repartition(n, host) is exempt from AQE coalescing and
-    # satisfies the groupBy's ClusteredDistribution(host), so the pandas
-    # stage reuses it without a second exchange.
-    n_shuffle = int(pending.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    capped = capped.repartition(n_shuffle, "host")
-
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in pending.schema.fields
     ) + ", admit boolean, robots_blocked boolean"
@@ -132,10 +137,11 @@ def admit_apply_in_pandas(pending: DataFrame, state: DataFrame,
                               ascending=[False, True, True]).reset_index(drop=True)
         host = pdf["host"].iloc[0] if len(pdf) else ""
         disallow = robots.get(host, [])
-        path = pdf["url"].str.replace(r"^[a-z+.-]+://[^/]*", "", regex=True)
         blocked = pd.Series(False, index=pdf.index)
-        for pref in disallow:
-            blocked |= path.str.startswith(pref)
+        if disallow:  # path regex only when the host HAS rules (hot-path cost)
+            path = pdf["url"].str.replace(r"^[a-z+.-]+://[^/]*", "", regex=True)
+            for pref in disallow:
+                blocked |= path.str.startswith(pref)
         budget = int(math.floor(pdf["_tokens"].iloc[0])) if len(pdf) else 0
         admit = pd.Series(False, index=pdf.index)
         spent = 0
