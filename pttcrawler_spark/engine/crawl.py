@@ -41,6 +41,7 @@ Scale design notes (100 TB / 10^10 URLs):
 from __future__ import annotations
 
 import datetime as _dt
+import math
 import os
 import sys
 import time
@@ -372,7 +373,10 @@ def _crawl_impl(spark: SparkSession, corpus: DataFrame | None,
             blocked = marked.where(F.col("robots_blocked")).drop("admit", "robots_blocked")
             marked = marked.drop("robots_blocked")
         else:
-            marked = POL.admit_window(pending, politeness, strict_barrier=strict)
+            # burst capacity is the literal per-host budget ceiling →
+            # WindowGroupLimit hot-host path (admit_window docstring)
+            marked = POL.admit_window(pending, politeness, strict_barrier=strict,
+                                      max_budget=math.ceil(cfg.burst))
             blocked = None
 
         # marked is read by MANY consumers per batch (admitted → fetch join,

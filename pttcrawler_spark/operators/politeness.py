@@ -51,7 +51,8 @@ def refill(state: DataFrame, batch_seconds: float, capacity: float) -> DataFrame
 
 
 def admit_window(pending: DataFrame, state: DataFrame,
-                 strict_barrier: bool = False) -> DataFrame:
+                 strict_barrier: bool = False,
+                 max_budget: int | None = None) -> DataFrame:
     """Returns pending + boolean ``admit``; state must carry current tokens.
 
     rank <= floor(tokens): the bucket spends whole tokens only, fractional
@@ -64,8 +65,37 @@ def admit_window(pending: DataFrame, state: DataFrame,
     (crawler/article.py:419-511 fetches a page's articles before the next
     index page). Without the barrier, index p-1 could be admitted in the
     same batch as index p, ahead of page p's yet-undiscovered articles.
+
+    ``max_budget`` — hot-host scale path. The exact plan ranks EVERY pending
+    row per host, so a host holding 10^9 frontier rows fully sorts inside
+    one window partition (measured 1.8x the uniform wall-time at 90%
+    single-host skew). When the caller knows a LITERAL upper bound on any
+    host's per-batch budget (the token bucket's burst capacity — a config
+    scalar, so the engine always does), rows ranked past ``max_budget``
+    can never be admitted, and filtering ``rank <= lit(cap)`` lets Catalyst
+    insert WindowGroupLimit (SPARK-37099): each map task keeps only its
+    top-cap rows per host BEFORE the host shuffle, so the reducer sorts
+    O(cap x map_tasks) rows per host, never the host's full backlog. The
+    admit flags (identical bits — rank > cap implies rank > budget, and a
+    barrier index past cap cannot gate any admissible rank) are computed on
+    that top-cap slice and joined back to pending by url (unique in a
+    deduped frontier); AQE broadcasts the O(cap x hosts) flag side while it
+    fits and falls back to a skew-free url equi-join beyond that.
     """
     ranked = pending.withColumn("_rank", F.row_number().over(_host_window()))
+    if max_budget is not None:
+        top = ranked.where(F.col("_rank") <= F.lit(int(max_budget)))
+        flags = _admit_flags(top, state, strict_barrier).select("url", "admit")
+        return (pending.join(flags, "url", "left")
+                .withColumn("admit",
+                            F.coalesce(F.col("admit"), F.lit(False))))
+    return _admit_flags(ranked, state, strict_barrier)
+
+
+def _admit_flags(ranked: DataFrame, state: DataFrame,
+                 strict_barrier: bool) -> DataFrame:
+    """Token-bucket + discovery-barrier admit bit over per-host ranked rows
+    (shared by the exact and WindowGroupLimit-capped admit_window paths)."""
     first_idx = (
         ranked.where(F.col("kind") != "article")
         .groupBy("host").agg(F.min("_rank").alias("_first_idx"))

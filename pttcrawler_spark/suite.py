@@ -249,11 +249,20 @@ def p9b_politeness_window(spark, sf_dir):
     stops at its first index-kind row in (priority desc, discovery_seq)
     order, because that row spawns higher-priority work that must be
     fetched first — the distributed restatement of the reference's
-    sequential page-then-articles loop (crawler/article.py:419-511)."""
+    sequential page-then-articles loop (crawler/article.py:419-511).
+
+    Graded through the hot-host SCALE path (max_budget=5 = ceil of the
+    fixture's max 4.5 tokens — the literal budget ceiling the engine
+    derives from its burst capacity): rank <= lit(5) triggers
+    WindowGroupLimit, so each map task keeps only its per-host top-5
+    before the host shuffle and a 10^9-row hot host never sorts in one
+    reducer; flags join back to pending by url. Bit-identical to the
+    exact path (operators/politeness.py admit_window docstring; equality
+    property-tested in tests/test_politeness_skew.py)."""
     from .operators.politeness import admit_window
     pending = _p9_frontier(spark, sf_dir, with_index_rows=True)
     state = _p9_state(spark, sf_dir)
-    out = admit_window(pending, state)
+    out = admit_window(pending, state, max_budget=5)
     return out.select("host", "url", "kind", "admit")
 
 
@@ -3979,6 +3988,8 @@ def queries():
         # r5 politeness change: admit_apply_in_pandas pins the group-shuffle
         # partition count (AQE byte-coalescing vs per-group Python cost)
         "p9_politeness_admit": p9_politeness_admit,
+        # r5: p9b now grades admit_window's WindowGroupLimit hot-host path
+        "p9b_politeness_window": p9b_politeness_window,
         # -- (b) oldest attestation first: r01 --
         "stream_tumbling_agg": stream_tumbling_agg,
         # -- (b) r02 --
@@ -4049,7 +4060,6 @@ def queries():
         "text_heavy_hitters": text_heavy_hitters,
         "sample_reservoir": sample_reservoir,
         "text_bm25": text_bm25,
-        "p9b_politeness_window": p9b_politeness_window,
         "dedup_semantic": dedup_semantic,
         "text_dsir_weights": text_dsir_weights,
         "quality_pipeline_e2e": quality_pipeline_e2e,

@@ -113,18 +113,32 @@ def main() -> None:
                           .where("admit").select("url")).count())
     assert n_win == n_pdf == n_agree == 3 + N_TAIL, (n_win, n_pdf, n_agree)
 
-    # wall-time: hostile vs uniform, both paths, min-of-3 after warmup
+    # capped (WindowGroupLimit) path must admit the identical URL set
+    n_cap = (admit_window(hostile, state, max_budget=4).where("admit")
+             .select("url")
+             .intersect(win.select("url")).count())
+    assert n_cap == 3 + N_TAIL, n_cap
+
+    # wall-time: hostile vs uniform, all three paths, min-of-3 after warmup
     def run_win(frontier):
         admit_window(frontier, state).where("admit").count()
+
+    def run_cap(frontier):
+        # max_budget=4 = ceil(max tokens); the engine derives this literal
+        # from its burst capacity (engine/crawl.py admission call)
+        admit_window(frontier, state, max_budget=4).where("admit").count()
 
     def run_pdf(frontier):
         admit_apply_in_pandas(frontier, state).where("admit").count()
 
     run_win(uniform)  # warmup: codegen + broadcast paths
+    run_cap(uniform)
     run_pdf(uniform)
     t = {
         "window_uniform": round(_best_of(lambda: run_win(uniform)), 3),
         "window_hostile": round(_best_of(lambda: run_win(hostile)), 3),
+        "window_capped_uniform": round(_best_of(lambda: run_cap(uniform)), 3),
+        "window_capped_hostile": round(_best_of(lambda: run_cap(hostile)), 3),
         "pandas_uniform": round(_best_of(lambda: run_pdf(uniform)), 3),
         "pandas_hostile": round(_best_of(lambda: run_pdf(hostile)), 3),
     }
@@ -139,11 +153,15 @@ def main() -> None:
         "seconds": t,
         "hostile_over_uniform": {
             "window": round(t["window_hostile"] / t["window_uniform"], 2),
+            "window_capped": round(t["window_capped_hostile"]
+                                   / t["window_capped_uniform"], 2),
             "pandas": round(t["pandas_hostile"] / t["pandas_uniform"], 2),
         },
-        "pass_bar": "hostile <= ~1.5x uniform on both paths (flat wall-time "
-                    "under 90% single-host skew; pre-truncation bounds every "
-                    "per-group buffer at ceil(tokens) rows)",
+        "pass_bar": "hostile <= ~1.5x uniform on the engine paths — "
+                    "window_capped (WindowGroupLimit, what the crawl loop "
+                    "runs) and pandas (pinned fan-out). The uncapped exact "
+                    "window is the oracle twin: its hot-host rank sorts the "
+                    "full backlog in one partition by construction.",
     }
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1)

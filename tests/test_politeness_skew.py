@@ -104,6 +104,46 @@ def test_hostile_skew_paths_agree(spark, skew_parts):
     assert len(win) == 3 + N_TAIL
 
 
+def test_capped_window_matches_exact(spark, skew_parts):
+    """admit_window(max_budget=cap) — the WindowGroupLimit hot-host path —
+    returns bit-identical (url, admit) to the exact path: rank > cap
+    implies rank > budget, and a barrier index ranked past cap cannot gate
+    any admissible rank. Checked under hostile skew, with index rows, and
+    in strict-barrier mode."""
+    frontier, state = skew_parts
+    # cap = ceil(max tokens) = 4; also a looser cap must not change bits
+    for cap in (4, 7):
+        exact = {(r["url"], r["admit"]) for r in
+                 admit_window(frontier, state).collect()}
+        capped = {(r["url"], r["admit"]) for r in
+                  admit_window(frontier, state, max_budget=cap).collect()}
+        assert exact == capped, f"cap={cap}"
+    # index rows + strict barrier: barrier semantics must survive capping
+    with_idx = frontier.withColumn(
+        "kind", F.when(F.col("discovery_seq") % 5 == 0,
+                       F.lit("index")).otherwise(F.col("kind")))
+    with_idx = with_idx.localCheckpoint()
+    for strict in (False, True):
+        exact = {(r["url"], r["admit"]) for r in
+                 admit_window(with_idx, state,
+                              strict_barrier=strict).collect()}
+        capped = {(r["url"], r["admit"]) for r in
+                  admit_window(with_idx, state, strict_barrier=strict,
+                               max_budget=4).collect()}
+        assert exact == capped, f"strict={strict}"
+
+
+def test_capped_window_plan_group_limit(spark, skew_parts):
+    """The capped path's physical plan contains a WindowGroupLimit below
+    the host exchange (partial mode — the map-side top-k that bounds what
+    the hot host ships to its reducer), and the flag join-back is present."""
+    frontier, state = skew_parts
+    plan = (admit_window(frontier, state, max_budget=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "Partial" in plan, plan[:2000]
+
+
 def test_hostile_skew_walltime_flat(spark, skew_parts):
     """Admission wall-time under 90% single-host skew stays within 3x of a
     uniform frontier of the same size (the hot host costs one in-partition
