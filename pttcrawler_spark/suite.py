@@ -15,6 +15,9 @@ instead (tests/test_dedup.py).
 from __future__ import annotations
 
 import math
+import os
+import shutil
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2132,22 +2135,55 @@ def _sem_centroids(q, assign):
                 lambda s: s["ce"]).alias("cent")))
 
 
-def _sem_assign(q, cents):
-    """Argmin assignment of every vector against the broadcast centroid
-    table: n·k distance rows stay NARROW (vec_id, struct(d, c) — the
-    d=64 arrays never enter the shuffle) and min(struct) is partial-
-    aggregatable, so each map task combines its n·k rows down to n before
-    the vec_id exchange. Ties break to the lowest cluster id via the
-    struct's (d, c) lexicographic order — the exact QUALIFY
-    row_number() ORDER BY dist, cid rule the oracle uses."""
-    d = F.aggregate(F.zip_with("q", "cent", lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("long"), lambda acc, x_: acc + x_)
-    return (q.crossJoin(F.broadcast(cents))
-            .select("vec_id",
-                    F.struct(d.alias("d"), F.col("cluster").alias("c"))
-                    .alias("dc"))
-            .groupBy("vec_id").agg(F.min("dc").alias("m"))
-            .select("vec_id", F.col("m.c").alias("cluster")))
+def _sem_assign(q, cents_path):
+    """Argmin assignment of every vector against the k-centroid table as
+    ONE exact BLAS matmul per Arrow batch (mapInPandas) — the round-5 fix
+    for the full-suite 10x measurement, where the first cut (crossJoin +
+    zip_with distance per (vector, centroid) row) put n·k·d interpreted
+    higher-order-function ops on the hot path: with k ∝ n that stage is
+    quadratic with a catastrophic constant (~4M HOF-ops/s measured ⇒
+    218 s at sf1). Here each task reads the k×d centroid side-table once
+    (Arrow parquet read of the path the driver just wrote — broadcast-
+    equivalent distribution with NO driver round-trip, k·d = n·d/32 stays
+    off the driver), then computes the b×k distance matrix as float64
+    GEMM at memory bandwidth.
+
+    Exactness (the oracle is unchanged): argmin_c |v-c|² = argmin_c
+    (|c|² − 2·v·c) — the per-row |v|² constant cannot change the argmin
+    or its ties. All terms are ×10⁶-quantized integers: products ≤ 10¹²,
+    64-term partial sums ≤ 6.4×10¹³ < 2⁵³, so every float64 intermediate
+    in the GEMM is an exactly-representable integer regardless of BLAS
+    summation order. Ties break to the lowest cluster id: the centroid
+    columns are sorted by cluster id and np.argmin takes the FIRST
+    minimum — the exact QUALIFY row_number() ORDER BY dist, cid rule.
+
+    Scale note: exact assignment is Θ(n·k·d) FLOPs — with k ∝ n that is
+    n²·d/32 through GEMM (SemDeDup's own published compute; Abbas et al.
+    run exact faiss assignment on GPUs). At 10⁸+ vectors the standard
+    escape is IVF two-level assignment (√k super-centroids probed first,
+    Θ(n·√k·d)); the side-table + per-batch-GEMM shape here extends to it
+    unchanged — only the probe list narrows."""
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        tb = pq.read_table(cents_path)
+        cid = np.asarray(tb.column("cluster").to_pylist(), dtype=np.int64)
+        cent = np.asarray(tb.column("cent").to_pylist(), dtype=np.float64)
+        order = np.argsort(cid)           # column order = cluster id asc
+        cid, cent = cid[order], cent[order]
+        cn = (cent * cent).sum(axis=1)    # |c|², exact ints in float64
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(list(pdf["q"]), dtype=np.float64)
+            dist = cn[None, :] - 2.0 * (v @ cent.T)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster": cid[np.argmin(dist, axis=1)]})
+
+    return q.mapInPandas(assign_batches, "vec_id long, cluster long")
 
 
 def dedup_semantic_scaled(spark, sf_dir):
@@ -2167,25 +2203,36 @@ def dedup_semantic_scaled(spark, sf_dir):
     no k·d literals in the plan, and the DuckDB oracle mirrors every
     stage as ordinary SQL (centroid CTE = GROUP BY, assignment CTE =
     argmin join) with k itself computed by the oracle from count(*).
-    Loop state per iteration is the O(k·d) centroid table,
-    localCheckpoint()ed (the engine/crawl.py lineage-break discipline);
-    the quantized vectors are scanned from cache, never re-derived. All
+    Loop state per iteration is the O(k·d) centroid table, written as a
+    parquet side-table that `_sem_assign`'s Arrow tasks read directly —
+    a lineage break like engine/crawl.py's, and the assignment itself is
+    one exact float64 GEMM per batch instead of n·k interpreted
+    expression rows (see _sem_assign; the driver never holds anything
+    O(k)). In production the side-path is the job's shared state dir
+    (DFS), exactly like the crawl loop's frontier snapshots. The
+    quantized vectors are scanned from cache, never re-derived. All
     distance/centroid/cosine arithmetic is the integer-quantized exact
     math of kmeans_lloyd/_km_quantize, so every cluster id and is_dup
     bit hash-matches the oracle."""
     q = _km_quantize(spark, sf_dir).persist()
+    tmp = tempfile.mkdtemp(prefix="semdedup_cents_")
     try:
         n = q.count()  # bounded control-plane scalar (sets k)
         k = max(_SEM_MIN_K, math.ceil(n / _SEM_C))
         assign = q.select(
             "vec_id",
             F.pmod(F.col("vec_id"), F.lit(k)).cast("long").alias("cluster"))
-        for _ in range(_SEM_ITERS):
-            cents = _sem_centroids(q, assign).localCheckpoint()
-            assign = _sem_assign(q, cents)
+        for it in range(_SEM_ITERS):
+            # distinct path per iteration: writing iteration i+1's
+            # centroids executes iteration i's assignment, which is still
+            # reading iteration i's side-table
+            cpath = os.path.join(tmp, f"iter_{it}")
+            _sem_centroids(q, assign).write.mode("overwrite").parquet(cpath)
+            assign = _sem_assign(q, cpath)
         # the output plan references the assignment from THREE branches
-        # (spine + both pair sides): checkpoint it so the n·k argmin runs
-        # once, not three times
+        # (spine + both pair sides): checkpoint it so the n×k GEMM runs
+        # once, not three times (eager — after this the side-tables are
+        # no longer read, so the finally-cleanup below is safe)
         assign = assign.localCheckpoint()
         assigned = (q.join(assign, "vec_id")
                     .select("vec_id", "cluster",
@@ -2209,6 +2256,7 @@ def dedup_semantic_scaled(spark, sf_dir):
                         F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup")))
     finally:
         q.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _PR_N = 500          # link-graph node universe
