@@ -305,14 +305,15 @@ def test_semantic_dedup_pairs_confined_to_cluster(spark):
 def test_semantic_scaled_pairs_confined_and_centroids_checkpointed(spark):
     """dedup_semantic_scaled: the within-cluster pair join must be an
     equi-join on the DYNAMIC cluster id (never an all-pairs product), the
-    argmin assignment must run against the broadcast checkpointed
-    centroid table (Scan ExistingRDD — never a re-derived aggregate), and
-    the assignment shuffle must carry only (vec_id, struct(d, c)) — the
-    d=64 arrays stay out of every Exchange."""
+    output must read the CHECKPOINTED assignment (Scan ExistingRDD — the
+    n×k GEMM argmin ran once, not once per output branch), and no
+    Exchange may carry the quantized q arrays or a centroid table — the
+    centroids travel as a parquet side-table each Arrow task reads, so
+    they appear in no plan edge at all."""
     plan = _plan(spark, "dedup_semantic_scaled")
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in plan
-    assert "Scan ExistingRDD" in tree  # checkpointed centroids
+    assert "Scan ExistingRDD" in tree  # checkpointed GEMM assignment
     for line in tree.splitlines():
         if "Exchange" in line:
             assert "q#" not in line and "cent#" not in line, line
