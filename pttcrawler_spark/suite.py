@@ -782,6 +782,86 @@ def dedup_embedding_lsh(spark, sf_dir):
             .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine")))
 
 
+_EMB_LSH_SC_BANDS = 4            # bands stay fixed; band WIDTH scales
+_EMB_LSH_SC_MIN_R, _EMB_LSH_SC_MAX_R = 4, 16
+
+
+def dedup_embedding_lsh_scaled(spark, sf_dir):
+    """Embedding near-dup, sign-LSH with CORPUS-SCALED band width — the
+    round-5 answer to what BENCH_SF1_FULL measured on the fixed-width
+    key: `dedup_embedding_lsh`'s 4-bit bands admit a RANDOM pair with
+    probability 2⁻⁴ per band, so random candidates grow ≈ bands·n²/2^rows
+    — 46.3M candidate pairs at n = 20k (sf1), 99.7% of them rejected by
+    the exact-cosine verify. Same family of fix as dedup_semantic_scaled
+    (k ∝ n there): hold the EXPECTED random collisions per item constant
+    by growing the band width logarithmically — rows =
+    clamp(bit_length(n−1), 4, 16), i.e. the smallest r with 2^r ≥ n, so
+    n/2^rows ≤ 1 and random candidates stay O(bands·n) while
+    near-identical pairs (the actual dups) still collide with high
+    probability. bit_length is INTEGER-exact on both engines (the oracle
+    counts powers of two below n — no float log2 boundary risk). The 64
+    seeded integer hyperplanes (tests/fixtures/gen_hyperplanes64.py)
+    cover bands·max_rows; the query uses the first 4·rows of them, band j
+    = planes [j·rows, (j+1)·rows). Projection, candidate join and
+    exact-cosine verify are the dedup_embedding_lsh devices unchanged
+    (integer projections < 2⁵³ ⇒ bit-identical sign bits; sequential
+    double fold for the cosine, matching the oracle's evaluation order).
+
+    The recall trade is the documented LSH knob: wider bands lower the
+    0.4-0.6 marginal-tail recall (use more bands to buy it back); the
+    near-identical regime — what dedup at corpus scale is for — keeps
+    colliding because a cosine≈1 pair flips each of the 4·rows sign bits
+    with probability ≈ 0."""
+    import pathlib
+
+    hp = spark.read.parquet(str(
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tests" / "fixtures" / "hyperplanes64.parquet"))
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * 1000)).alias("iv"))
+    n = e.count()  # bounded control-plane scalar (sets the band width)
+    rows = max(_EMB_LSH_SC_MIN_R,
+               min(_EMB_LSH_SC_MAX_R, (n - 1).bit_length()))
+    planes = hp.where(F.col("plane_id") < _EMB_LSH_SC_BANDS * rows)
+    dot_i = F.aggregate(
+        F.zip_with(F.col("iv"), F.col("hv"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    proj = (e.crossJoin(F.broadcast(planes))
+            .select("vec_id", "plane_id",
+                    F.when(dot_i >= 0, F.lit("1")).otherwise(F.lit("0"))
+                    .alias("bit")))
+    bd = (proj.groupBy("vec_id",
+                       F.floor(F.col("plane_id") / rows).cast("int")
+                       .alias("band"))
+          .agg(F.array_join(
+              F.transform(
+                  F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
+                  lambda p: p["bit"]), "").alias("sig")))
+    a, b = bd.alias("a"), bd.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+    norm = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    en = e.select("vec_id", "v", norm.alias("nrm"))
+    ea = en.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                   F.col("nrm").alias("na"))
+    eb = en.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                   F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
+            .where(cos >= 0.4)
+            .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine")))
+
+
 _MINHASH_K, _LSH_BANDS, _LSH_ROWS = 12, 4, 3
 _MH_P = 2147483647  # 2^31-1 Mersenne prime — the universal-hash field
 
@@ -2884,6 +2964,40 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_dot_product(ea.v, eb.v) /
               (sqrt(list_dot_product(ea.v, ea.v)) *
                sqrt(list_dot_product(eb.v, eb.v))) >= 0.4""",
+    # dedup_embedding_lsh_scaled: band width rows = clamp(bit_length(n-1),
+    # 4, 16) computed INTEGER-exactly by counting powers of two below n
+    "dedup_embedding_lsh_scaled": """
+        WITH hp AS (SELECT plane_id, hv
+                    FROM '/root/repo/tests/fixtures/hyperplanes64.parquet'),
+        e AS (SELECT vec_id,
+                     list_transform(embedding, x -> cast(x AS double)) AS v,
+                     list_transform(embedding,
+                         x -> CAST(floor(cast(x AS double) * 1000) AS BIGINT)) AS iv
+              FROM embeddings),
+        rr AS (SELECT greatest(4, least(16,
+                   (SELECT count(*) FROM range(0, 62) t(i)
+                    WHERE (1::BIGINT << CAST(i AS INT)) <
+                          (SELECT count(*) FROM e)))) AS r),
+        bits AS (SELECT vec_id, plane_id,
+                        CASE WHEN list_dot_product(iv, hv) >= 0
+                             THEN '1' ELSE '0' END AS bit
+                 FROM e, hp, rr WHERE plane_id < 4 * rr.r),
+        sig AS (SELECT vec_id, plane_id // (SELECT r FROM rr) AS band,
+                       string_agg(bit, '' ORDER BY plane_id) AS s
+                FROM bits GROUP BY vec_id, plane_id // (SELECT r FROM rr)),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 FROM sig a JOIN sig b
+                   ON a.band = b.band AND a.s = b.s AND a.vec_id < b.vec_id)
+        SELECT c.vec_a, c.vec_b,
+               round(list_dot_product(ea.v, eb.v) /
+                     (sqrt(list_dot_product(ea.v, ea.v)) *
+                      sqrt(list_dot_product(eb.v, eb.v))), 4) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+        WHERE list_dot_product(ea.v, eb.v) /
+              (sqrt(list_dot_product(ea.v, ea.v)) *
+               sqrt(list_dot_product(eb.v, eb.v))) >= 0.4""",
     "ann_topk_bruteforce": """
         WITH e AS (SELECT vec_id,
                           list_transform(embedding, x -> cast(x AS double)) AS v
@@ -4020,7 +4134,10 @@ def queries():
     implementation change. ROTATION RULE (round-4 verdict #5): remaining
     window slots go to the keys whose latest green row is OLDEST, so no
     attestation ages beyond ~2 rounds. Round-5 window: (a) keys changed or
-    new in round 5 — dedup_semantic_scaled (new), graph_pagerank
+    new in round 5 — dedup_semantic_scaled (new; then rewritten to the
+    GEMM assignment after the first BENCH_SF1_FULL run),
+    dedup_embedding_lsh_scaled (new: corpus-scaled band width),
+    graph_pagerank
     (checkpointed-rank rewrite), bpe_train_merges / bpe_apply_tokenize
     (_bpe_learn now localCheckpoints the vocab and guards empty top-1);
     (b) oldest attestations first: the one r01 key, the twelve r02 keys,
@@ -4030,6 +4147,9 @@ def queries():
     q = {
         # -- (a) implementation changed or new in round 5 --
         "dedup_semantic_scaled": dedup_semantic_scaled,  # NEW: k ∝ n SemDeDup
+        # NEW: rows ∝ log n sign-LSH (fixed-width key measured 46M
+        # candidates at sf1 in BENCH_SF1_FULL)
+        "dedup_embedding_lsh_scaled": dedup_embedding_lsh_scaled,
         "graph_pagerank": graph_pagerank,    # r5 checkpointed-rank rewrite
         "bpe_train_merges": bpe_train_merges,      # r5 _bpe_learn change
         "bpe_apply_tokenize": bpe_apply_tokenize,  # r5 _bpe_learn change

@@ -71,6 +71,18 @@ def test_minhash_lsh_no_cartesian(spark):
         "BroadcastHashJoin" in plan
 
 
+def test_embedding_lsh_scaled_no_cartesian(spark):
+    """dedup_embedding_lsh_scaled: the candidate self-join is an equi-join
+    on (band, sig) with corpus-scaled band width — never a cross product;
+    the only crossJoin in the query is vectors × the ≤64-row broadcast
+    hyperplane dim (BroadcastNestedLoopJoin over a bounded dim is the
+    intended shape there, so only CartesianProduct is banned)."""
+    plan = _plan(spark, "dedup_embedding_lsh_scaled")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
+
+
 def test_phash_banding_no_cartesian(spark):
     # img_phash_near_dup: candidates come from an equi-join on (band, value),
     # never an all-pairs product — the whole point of the banding scale path
