@@ -840,6 +840,10 @@ def dedup_embedding_lsh_scaled(spark, sf_dir):
               F.transform(
                   F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
                   lambda p: p["bit"]), "").alias("sig")))
+    # the candidate self-join would otherwise COMPUTE the projection +
+    # signature aggregation twice (Spark does not share subplans across
+    # self-join branches): materialize the O(n·bands) signature table once
+    bd = bd.localCheckpoint()
     a, b = bd.alias("a"), bd.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.sig") == F.col("b.sig"))

@@ -76,11 +76,15 @@ def test_embedding_lsh_scaled_no_cartesian(spark):
     on (band, sig) with corpus-scaled band width — never a cross product;
     the only crossJoin in the query is vectors × the ≤64-row broadcast
     hyperplane dim (BroadcastNestedLoopJoin over a bounded dim is the
-    intended shape there, so only CartesianProduct is banned)."""
+    intended shape there, so only CartesianProduct is banned). The
+    signature table is checkpointed (Scan ExistingRDD) so the self-join
+    reads ONE materialization instead of computing the projection +
+    signature aggregation once per branch."""
     plan = _plan(spark, "dedup_embedding_lsh_scaled")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
         "BroadcastHashJoin" in plan
+    assert "Scan ExistingRDD" in plan.split("\n\n")[0]
 
 
 def test_phash_banding_no_cartesian(spark):
