@@ -783,7 +783,7 @@ def dedup_embedding_lsh(spark, sf_dir):
 
 
 _EMB_LSH_SC_BANDS = 4            # bands stay fixed; band WIDTH scales
-_EMB_LSH_SC_MIN_R, _EMB_LSH_SC_MAX_R = 4, 16
+_EMB_LSH_SC_MIN_R, _EMB_LSH_SC_MAX_R = 4, 24  # 2^24 ≈ 16.7M-vector capacity
 
 
 def dedup_embedding_lsh_scaled(spark, sf_dir):
@@ -795,12 +795,13 @@ def dedup_embedding_lsh_scaled(spark, sf_dir):
     the exact-cosine verify. Same family of fix as dedup_semantic_scaled
     (k ∝ n there): hold the EXPECTED random collisions per item constant
     by growing the band width logarithmically — rows =
-    clamp(bit_length(n−1), 4, 16), i.e. the smallest r with 2^r ≥ n, so
+    clamp(bit_length(n−1), 4, 24), i.e. the smallest r with 2^r ≥ n, so
     n/2^rows ≤ 1 and random candidates stay O(bands·n) while
     near-identical pairs (the actual dups) still collide with high
-    probability. bit_length is INTEGER-exact on both engines (the oracle
-    counts powers of two below n — no float log2 boundary risk). The 64
-    seeded integer hyperplanes (tests/fixtures/gen_hyperplanes64.py)
+    probability; the 24-bit cap binds only beyond 2²⁴ ≈ 16.7M vectors.
+    bit_length is INTEGER-exact on both engines (the oracle
+    counts powers of two below n — no float log2 boundary risk). The 96
+    seeded integer hyperplanes (tests/fixtures/gen_hyperplanes96.py)
     cover bands·max_rows; the query uses the first 4·rows of them, band j
     = planes [j·rows, (j+1)·rows). Projection, candidate join and
     exact-cosine verify are the dedup_embedding_lsh devices unchanged
@@ -816,7 +817,7 @@ def dedup_embedding_lsh_scaled(spark, sf_dir):
 
     hp = spark.read.parquet(str(
         pathlib.Path(__file__).resolve().parent.parent
-        / "tests" / "fixtures" / "hyperplanes64.parquet"))
+        / "tests" / "fixtures" / "hyperplanes96.parquet"))
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -2969,16 +2970,16 @@ ORACLE_SQL: dict[str, str] = {
               (sqrt(list_dot_product(ea.v, ea.v)) *
                sqrt(list_dot_product(eb.v, eb.v))) >= 0.4""",
     # dedup_embedding_lsh_scaled: band width rows = clamp(bit_length(n-1),
-    # 4, 16) computed INTEGER-exactly by counting powers of two below n
+    # 4, 24) computed INTEGER-exactly by counting powers of two below n
     "dedup_embedding_lsh_scaled": """
         WITH hp AS (SELECT plane_id, hv
-                    FROM '/root/repo/tests/fixtures/hyperplanes64.parquet'),
+                    FROM '/root/repo/tests/fixtures/hyperplanes96.parquet'),
         e AS (SELECT vec_id,
                      list_transform(embedding, x -> cast(x AS double)) AS v,
                      list_transform(embedding,
                          x -> CAST(floor(cast(x AS double) * 1000) AS BIGINT)) AS iv
               FROM embeddings),
-        rr AS (SELECT greatest(4, least(16,
+        rr AS (SELECT greatest(4, least(24,
                    (SELECT count(*) FROM range(0, 62) t(i)
                     WHERE (1::BIGINT << CAST(i AS INT)) <
                           (SELECT count(*) FROM e)))) AS r),
