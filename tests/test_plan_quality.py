@@ -74,7 +74,7 @@ def test_minhash_lsh_no_cartesian(spark):
 def test_embedding_lsh_scaled_no_cartesian(spark):
     """dedup_embedding_lsh_scaled: the candidate self-join is an equi-join
     on (band, sig) with corpus-scaled band width — never a cross product;
-    the only crossJoin in the query is vectors × the ≤64-row broadcast
+    the only crossJoin in the query is vectors × the ≤96-row broadcast
     hyperplane dim (BroadcastNestedLoopJoin over a bounded dim is the
     intended shape there, so only CartesianProduct is banned). The
     signature table is checkpointed (Scan ExistingRDD) so the self-join
