@@ -7,9 +7,10 @@ Doubles are rounded on BOTH sides; derived timestamps are emitted as
 formatted strings to dodge tz-representation drift (session TZ is UTC).
 
 Each query's docstring cites the SURVEY §2 operator it evidences and the
-reference site it models. Queries marked "rows-only" have no SQL-expressible
-oracle (MinHash/SimHash banding); they get deterministic pytest properties
-instead (tests/test_dedup.py).
+reference site it models. Every queries() key now carries a DuckDB oracle
+(historically the MinHash/SimHash/image-codec keys were rows-only; their
+oracles recompute via fixture side-tables — FIXTURES.md §7 — and their
+plan shapes are additionally pinned in tests/test_plan_quality.py).
 """
 
 from __future__ import annotations
