@@ -12,9 +12,11 @@ Asserts what tests/test_politeness_skew.py asserts at 20x smaller scale:
   per-group materialization — the hot host costs one in-partition sort of
   its rows, never an oversized per-group pandas buffer.
 
-Writes BENCH_POLITENESS_SKEW.json.
+Writes BENCH_POLITENESS_SKEW.json. --rows/--tail scale the frontier
+(BENCH_POLITENESS_SKEW_10M.json is the 10^7-row / 10^6-host run: one more
+order of magnitude on the same shape).
 
-Usage: python scripts/bench_politeness_skew.py [--cpus 32]
+Usage: python scripts/bench_politeness_skew.py [--cpus 32] [--rows N]
 """
 from __future__ import annotations
 
@@ -33,7 +35,7 @@ from pttcrawler_spark.operators.politeness import (admit_apply_in_pandas,  # noq
                                                    admit_window)
 from pttcrawler_spark.session import get_spark  # noqa: E402
 
-N_TOTAL = 1_000_000   # frontier rows
+N_TOTAL = 1_000_000   # frontier rows (--rows overrides)
 N_TAIL = 100_000      # long-tail hosts (1 row each); hot host holds the rest
 
 
@@ -89,10 +91,17 @@ def _best_of(fn, runs: int = 3) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    global N_TOTAL, N_TAIL
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=N_TOTAL)
+    ap.add_argument("--tail", type=int, default=None,
+                    help="long-tail host count (default rows // 10)")
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out",
                     default=os.path.join(REPO, "BENCH_POLITENESS_SKEW.json"))
     args = ap.parse_args()
+    N_TOTAL = args.rows
+    N_TAIL = args.tail if args.tail is not None else args.rows // 10
 
     spark = get_spark(args.cpus, app_name="bench_politeness_skew")
     hostile = _hostile_frontier(spark).localCheckpoint()
@@ -134,13 +143,14 @@ def main() -> None:
     run_win(uniform)  # warmup: codegen + broadcast paths
     run_cap(uniform)
     run_pdf(uniform)
+    r = args.runs
     t = {
-        "window_uniform": round(_best_of(lambda: run_win(uniform)), 3),
-        "window_hostile": round(_best_of(lambda: run_win(hostile)), 3),
-        "window_capped_uniform": round(_best_of(lambda: run_cap(uniform)), 3),
-        "window_capped_hostile": round(_best_of(lambda: run_cap(hostile)), 3),
-        "pandas_uniform": round(_best_of(lambda: run_pdf(uniform)), 3),
-        "pandas_hostile": round(_best_of(lambda: run_pdf(hostile)), 3),
+        "window_uniform": round(_best_of(lambda: run_win(uniform), r), 3),
+        "window_hostile": round(_best_of(lambda: run_win(hostile), r), 3),
+        "window_capped_uniform": round(_best_of(lambda: run_cap(uniform), r), 3),
+        "window_capped_hostile": round(_best_of(lambda: run_cap(hostile), r), 3),
+        "pandas_uniform": round(_best_of(lambda: run_pdf(uniform), r), 3),
+        "pandas_hostile": round(_best_of(lambda: run_pdf(hostile), r), 3),
     }
     result = {
         "metric": "politeness_admission_hostile_skew",
